@@ -1,0 +1,208 @@
+"""BERT text encoder in flax, weight-layout compatible with HuggingFace.
+
+Rebuilds the behavior of the reference text tower — a thin wrapper over HF
+``BertModel`` (mmaction/models/backbones/bert_from_hugface.py:7-32) — and the
+encoder/embedding internals the fusion transformer reuses
+(cross_transformer.py:26-29): ``BertEmbeddings`` with a
+``past_key_values_length`` position offset, post-LN encoder layers, and the
+additive extended attention mask. Parameter tree is a 1:1 rename of the HF
+state dict so pretrained weights convert exactly (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from clover_tpu.models.layers import dense, layer_norm
+
+Dtype = Any
+
+# Additive mask fill value for padded keys. transformers==4.6.1 (the
+# reference pin, install.sh:34) uses -10000.0.
+ATTENTION_MASK_FILL = -10000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+
+
+def extend_attention_mask(mask: jax.Array, dtype: Dtype = jnp.float32) -> jax.Array:
+    """(B, S) 1/0 mask -> (B, 1, 1, S) additive mask (HF semantics)."""
+    mask = mask.astype(dtype)
+    return ((1.0 - mask) * ATTENTION_MASK_FILL)[:, None, None, :]
+
+
+class BertEmbeddings(nn.Module):
+    """Token + absolute-position + token-type embeddings with LN.
+
+    ``position_offset`` reproduces HF ``past_key_values_length`` used by the
+    fusion transformer's ``word_pos_start`` option (cross_transformer.py:74-76).
+    """
+
+    config: BertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        token_type_ids: Optional[jax.Array] = None,
+        position_offset: int = 0,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        embed_init = nn.initializers.normal(stddev=0.02)
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=embed_init,
+                        param_dtype=jnp.float32, name="word_embeddings")
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=embed_init, param_dtype=jnp.float32,
+                       name="position_embeddings")
+        tok_type = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                            embedding_init=embed_init, param_dtype=jnp.float32,
+                            name="token_type_embeddings")
+
+        seq_len = input_ids.shape[-1]
+        position_ids = jnp.arange(position_offset, position_offset + seq_len)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        x = word(input_ids) + pos(position_ids)[None, :, :] + tok_type(token_type_ids)
+        x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(x)
+        return x.astype(self.dtype)
+
+    def word_embedding_table(self) -> jax.Array:
+        """Expose the tied word-embedding matrix for the MLM decoder."""
+        return self.variables["params"]["word_embeddings"]["embedding"]
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, *, deterministic: bool = True):
+        cfg = self.config
+        n_heads = cfg.num_attention_heads
+        head_dim = cfg.hidden_size // n_heads
+
+        def split_heads(t):
+            return t.reshape(t.shape[0], t.shape[1], n_heads, head_dim)
+
+        init = nn.initializers.normal(stddev=0.02)
+        q = split_heads(dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="query")(x))
+        k = split_heads(dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="key")(x))
+        v = split_heads(dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="value")(x))
+
+        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout, deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return out.reshape(x.shape[0], x.shape[1], cfg.hidden_size)
+
+
+class BertLayer(nn.Module):
+    """Post-LN transformer layer matching HF BertLayer structure."""
+
+    config: BertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, attn_bias, *, deterministic: bool = True):
+        cfg = self.config
+        init = nn.initializers.normal(stddev=0.02)
+        attn = BertSelfAttention(cfg, dtype=self.dtype, name="attention")(
+            x, attn_bias, deterministic=deterministic)
+        attn = dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                     name="attention_output")(attn)
+        attn = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn)
+        x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
+                       name="attention_norm")(x + attn)
+
+        h = dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
+                  name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="output")(h)
+        h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
+        return layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
+                          name="output_norm")(x + h)
+
+
+class BertEncoder(nn.Module):
+    """Stack of post-LN layers. Depth is configurable so the fusion tower can
+    reuse the first N pretrained layers (cross_transformer.py:24-29)."""
+
+    config: BertConfig
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, attn_bias, *, deterministic: bool = True):
+        layer_cls = nn.remat(BertLayer) if self.remat else BertLayer
+        for i in range(self.config.num_hidden_layers):
+            x = layer_cls(self.config, dtype=self.dtype, name=f"layer_{i}")(
+                x, attn_bias, deterministic=deterministic)
+        return x
+
+
+class BertTextEncoder(nn.Module):
+    """Full text tower: embeddings + encoder -> last hidden state.
+
+    Equivalent of ``BertFromPretrained.forward(token_ids, input_mask)``
+    (bert_from_hugface.py:24-32); returns the (B, S, D) hidden states.
+    """
+
+    config: BertConfig = BertConfig()
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        x = BertEmbeddings(self.config, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+        bias = extend_attention_mask(attention_mask, jnp.float32)
+        x = BertEncoder(self.config, dtype=self.dtype, remat=self.remat,
+                        name="encoder")(x, bias, deterministic=deterministic)
+        return x
+
+
+class BertPredictionTransform(nn.Module):
+    """dense -> gelu -> LN transform of the MLM head (mlm_itm_head.py:10-22)."""
+
+    config: BertConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = dense(self.config.hidden_size, dtype=self.dtype,
+                  kernel_init=nn.initializers.normal(stddev=0.02), name="dense")(x)
+        x = nn.gelu(x, approximate=False)
+        return layer_norm(eps=self.config.layer_norm_eps, dtype=self.dtype, name="norm")(x)

@@ -1,0 +1,104 @@
+"""Shared flax building blocks: MLP, stochastic depth, initializers.
+
+All modules follow the project dtype policy: parameters in float32,
+compute in ``dtype`` (bfloat16 on TPU by default at the call sites).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# timm trunc_normal_(std=.02) equivalent (used throughout the reference
+# Swin backbone, swin_transformer_3d.py:192 and fusion tokens,
+# cross_transformer.py:33).
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+xavier_uniform_init = nn.initializers.xavier_uniform()
+
+
+def dense(features: int, *, use_bias: bool = True, dtype: Dtype = jnp.float32,
+          kernel_init: Callable = trunc_normal_init, name: Optional[str] = None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=kernel_init,
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def layer_norm(*, eps: float = 1e-5, dtype: Dtype = jnp.float32,
+               name: Optional[str] = None) -> nn.LayerNorm:
+    # Norm statistics always in fp32 (reference patch_norm_fp32 behavior).
+    return nn.LayerNorm(epsilon=eps, dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> GELU -> drop -> fc2 -> drop.
+
+    Reference: swin_transformer_3d.py:250-268.
+    """
+
+    hidden_features: int
+    out_features: int
+    drop_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath equivalent)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep_prob = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, p=keep_prob, shape=shape)
+        return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
+
+
+class ProjectorNorm(nn.Module):
+    """LayerNorm / BatchNorm1d switch used by the contrastive projector heads.
+
+    The reference heads pick ``nn.BatchNorm1d`` vs ``nn.LayerNorm`` by an
+    ``ln`` flag (ssl_head.py:52,55). All live Clover configs use ``ln=True``;
+    BatchNorm is kept for completeness (running stats live in the
+    ``batch_stats`` collection and need ``mutable=['batch_stats']`` in train).
+    """
+
+    features: int
+    use_ln: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        if self.use_ln:
+            return layer_norm(dtype=self.dtype, name="norm")(x)
+        return nn.BatchNorm(
+            use_running_average=deterministic,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="norm",
+        )(x)

@@ -1,0 +1,415 @@
+"""Video Swin Transformer (3D shifted-window attention) in flax, TPU-first.
+
+Re-implements the behavior of the reference SwinTransformer3D
+(mmaction/models/backbones/swin_transformer_3d.py:18-688) with a design
+chosen for XLA/TPU rather than translated from torch:
+
+- canonical layout is channels-last (B, T, H, W, C) end to end — the
+  reference's NCDHW permute round-trips (swin_transformer_3d.py:634,645)
+  disappear;
+- the patch embedding (reference: Conv3d stride==kernel, :665) lowers to a
+  space-to-depth reshape + one MXU matmul when kernel == stride;
+- the shifted-window attention masks (reference: lru_cached compute_mask,
+  :548-562) and relative-position-bias indices (:344-358) are computed with
+  numpy at trace time — under jit they are free constants;
+- window clamping (reference get_window_size, :302-315) is resolved
+  statically per input shape; the relative-position index is built directly
+  for the effective window (equivalent to the reference's [:N,:N] slice for
+  temporal clamping, the only clamping the live configs hit);
+- gradient checkpointing (reference :494-503) maps to nn.remat per block;
+- the SimMIM mask-token mixing for the masked-video branch mirrors
+  swin_transformer_3d.py:109-112,222-230.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clover_tpu.models.layers import DropPath, Mlp, dense, layer_norm, trunc_normal_init
+
+Dtype = Any
+Tuple3 = Tuple[int, int, int]
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    patch_size: Tuple3 = (2, 4, 4)
+    stride: Tuple3 = (2, 4, 4)
+    in_chans: int = 3
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: Tuple3 = (8, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    patch_norm: bool = True
+    mask_token: bool = False
+    use_checkpoint: bool = False
+
+    @property
+    def num_features(self) -> int:
+        return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+
+    @classmethod
+    def tiny(cls, **kw) -> "SwinConfig":
+        return cls(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), **kw)
+
+    @classmethod
+    def base(cls, **kw) -> "SwinConfig":
+        return cls(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), **kw)
+
+
+def effective_window(
+    x_size: Tuple3, window: Tuple3, shift: Optional[Tuple3] = None
+):
+    """Clamp window dims to the input size; clamped dims get zero shift.
+
+    Static-shape equivalent of reference get_window_size (:302-315).
+    """
+    win = list(window)
+    sh = list(shift) if shift is not None else None
+    for i in range(3):
+        if x_size[i] <= window[i]:
+            win[i] = x_size[i]
+            if sh is not None:
+                sh[i] = 0
+    if sh is None:
+        return tuple(win)
+    return tuple(win), tuple(sh)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(full_window: Tuple3, eff_window: Tuple3) -> np.ndarray:
+    """(N, N) index into the (2Wd-1)(2Wh-1)(2Ww-1)-row bias table.
+
+    Built for the *effective* window but with the *full* window's offsets and
+    strides, so the same parameter table serves every input length
+    (reference :344-358 plus the [:N,:N] runtime slice at :382).
+    """
+    coords = np.stack(
+        np.meshgrid(*[np.arange(w) for w in eff_window], indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # 3, N, N
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    for i in range(3):
+        rel[:, :, i] += full_window[i] - 1
+    rel[:, :, 0] *= (2 * full_window[1] - 1) * (2 * full_window[2] - 1)
+    rel[:, :, 1] *= 2 * full_window[2] - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(
+    padded_size: Tuple3, window: Tuple3, shift: Tuple3
+) -> Optional[np.ndarray]:
+    """(nW, N, N) additive mask (0 / -100) for shifted-window attention.
+
+    Same region-counting construction as reference compute_mask (:548-562),
+    done in numpy at trace time.
+    """
+    if not any(s > 0 for s in shift):
+        return None
+    D, H, W = padded_size
+    img_mask = np.zeros((D, H, W), dtype=np.int32)
+    cnt = 0
+    for d in (slice(-window[0]), slice(-window[0], -shift[0] or None),
+              slice(-shift[0] or None, None)):
+        for h in (slice(-window[1]), slice(-window[1], -shift[1] or None),
+                  slice(-shift[1] or None, None)):
+            for w in (slice(-window[2]), slice(-window[2], -shift[2] or None),
+                      slice(-shift[2] or None, None)):
+                img_mask[d, h, w] = cnt
+                cnt += 1
+    # partition into windows: (nW, N)
+    wins = img_mask.reshape(
+        D // window[0], window[0], H // window[1], window[1], W // window[2], window[2]
+    ).transpose(0, 2, 4, 1, 3, 5).reshape(-1, window[0] * window[1] * window[2])
+    diff = wins[:, None, :] - wins[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: Tuple3) -> jax.Array:
+    """(B, D, H, W, C) -> (B * nW, N, C)."""
+    B, D, H, W, C = x.shape
+    x = x.reshape(B, D // window[0], window[0], H // window[1], window[1],
+                  W // window[2], window[2], C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, window[0] * window[1] * window[2], C)
+
+
+def window_reverse(windows: jax.Array, window: Tuple3, B: int, D: int, H: int, W: int) -> jax.Array:
+    """(B * nW, N, C) -> (B, D, H, W, C)."""
+    C = windows.shape[-1]
+    x = windows.reshape(B, D // window[0], H // window[1], W // window[2],
+                        window[0], window[1], window[2], C)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D, H, W, C)
+
+
+class WindowAttention3D(nn.Module):
+    """W-MSA / SW-MSA over flattened 3D windows with relative position bias.
+
+    Behavior of reference WindowAttention3D (:318-400); the bias table keeps
+    the reference's flattened (L, nH) shape for exact weight conversion.
+    """
+
+    dim: int
+    full_window: Tuple3
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                       # (B*nW, N, C)
+        eff_window: Tuple3,
+        attn_mask: Optional[jax.Array] = None,  # (nW, N, N) additive or None
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        Bn, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        table_len = int(np.prod([2 * w - 1 for w in self.full_window]))
+        bias_table = self.param(
+            "relative_position_bias_table", trunc_normal_init,
+            (table_len, self.num_heads), jnp.float32)
+
+        qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                    name="qkv")(x)
+        qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, nH, hd)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+
+        rp_index = relative_position_index(self.full_window, eff_window)
+        bias = bias_table[rp_index.reshape(-1)].reshape(N, N, self.num_heads)
+        logits = logits + bias.transpose(2, 0, 1)[None].astype(logits.dtype)
+
+        if attn_mask is not None:
+            nW = attn_mask.shape[0]
+            logits = logits.reshape(Bn // nW, nW, self.num_heads, N, N)
+            logits = logits + attn_mask[None, :, None].astype(logits.dtype)
+            logits = logits.reshape(Bn, self.num_heads, N, N)
+
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(self.attn_drop, deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(Bn, N, C)
+        out = dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+
+
+class SwinBlock3D(nn.Module):
+    """One Swin block: LN -> (shift, window, attn, unshift) -> LN -> MLP,
+    both with residual + stochastic depth (reference :403-505)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple3
+    shift_size: Tuple3
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        B, D, H, W, C = x.shape
+        window, shift = effective_window((D, H, W), self.window_size, self.shift_size)
+
+        shortcut = x
+        x = layer_norm(dtype=self.dtype, name="norm1")(x)
+
+        pad_d = (-D) % window[0]
+        pad_h = (-H) % window[1]
+        pad_w = (-W) % window[2]
+        if pad_d or pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
+
+        do_shift = any(s > 0 for s in shift)
+        if do_shift:
+            x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+            mask_np = shift_attn_mask((Dp, Hp, Wp), window, shift)
+            attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
+        else:
+            attn_mask = None
+
+        x_windows = window_partition(x, window)
+        attn_out = WindowAttention3D(
+            self.dim, self.window_size, self.num_heads, qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale, attn_drop=self.attn_drop, proj_drop=self.drop,
+            dtype=self.dtype, name="attn",
+        )(x_windows, window, attn_mask, deterministic=deterministic)
+        x = window_reverse(attn_out, window, B, Dp, Hp, Wp)
+
+        if do_shift:
+            x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
+        if pad_d or pad_h or pad_w:
+            x = x[:, :D, :H, :W, :]
+
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            x, deterministic=deterministic)
+
+        h = layer_norm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop_rate=self.drop,
+                dtype=self.dtype, name="mlp")(h, deterministic=deterministic)
+        return x + DropPath(self.drop_path, name="drop_path2")(
+            h, deterministic=deterministic)
+
+
+class PatchMerging(nn.Module):
+    """2x2 spatial space-to-depth + LN + linear 4C->2C (reference :508-544)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, D, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x0 = x[:, :, 0::2, 0::2, :]
+        x1 = x[:, :, 1::2, 0::2, :]
+        x2 = x[:, :, 0::2, 1::2, :]
+        x3 = x[:, :, 1::2, 1::2, :]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = layer_norm(dtype=self.dtype, name="norm")(x)
+        return dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
+
+
+class PatchEmbed3D(nn.Module):
+    """Video -> patch tokens.
+
+    When kernel == stride (every live config) the Conv3d of the reference
+    (:665) is computed as space-to-depth + one Dense: a single large matmul
+    that maps straight onto the MXU. The parameter keeps Dense layout
+    (pd*ph*pw*C_in, C_out); the converter reshapes torch's conv weight.
+    """
+
+    config: SwinConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.config
+        pd, ph, pw = cfg.patch_size
+        B, D, H, W, C = x.shape
+        pad = ((-D) % pd, (-H) % ph, (-W) % pw)
+        if any(pad):
+            x = jnp.pad(x, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)))
+            D, H, W = D + pad[0], H + pad[1], W + pad[2]
+
+        if cfg.patch_size == cfg.stride:
+            x = x.reshape(B, D // pd, pd, H // ph, ph, W // pw, pw, C)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+            x = x.reshape(B, D // pd, H // ph, W // pw, pd * ph * pw * C)
+            x = dense(cfg.embed_dim, dtype=self.dtype, name="proj")(x)
+        else:
+            x = nn.Conv(
+                cfg.embed_dim, kernel_size=cfg.patch_size, strides=cfg.stride,
+                padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+                name="proj",
+            )(x)
+        if cfg.patch_norm:
+            x = layer_norm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class SwinTransformer3D(nn.Module):
+    """Full backbone: patch embed -> 4 stages -> final LN.
+
+    __call__(video, token_mask=None):
+      video:       (B, T, H, W, 3) channels-last
+      token_mask:  (B, mh, mw) 0/1 blockwise mask for the masked-video branch
+                   (reference mask-token mixing, :222-230) or None
+    Returns (B, T', H', W', num_features) features, plus the broadcast mask
+    weights when token_mask is given.
+    """
+
+    config: SwinConfig = SwinConfig()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        token_mask: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        x = PatchEmbed3D(cfg, dtype=self.dtype, name="patch_embed")(x)
+
+        if cfg.mask_token:
+            # created unconditionally so init without a mask still owns it
+            mask_token = self.param(
+                "mask_token", trunc_normal_init, (1, 1, 1, 1, cfg.embed_dim),
+                jnp.float32)
+        w = None
+        if token_mask is not None:
+            if not cfg.mask_token:
+                raise ValueError("token_mask given but config.mask_token=False")
+            B, D, H, W_, C = x.shape
+            mh, mw = token_mask.shape[-2:]
+            # broadcast (B, mh, mw) over time and over H//mh x W//mw blocks
+            w = jnp.repeat(jnp.repeat(token_mask, H // mh, axis=-2), W_ // mw, axis=-1)
+            w = jnp.broadcast_to(w[:, None, :, :, None], (B, D, H, W_, 1))
+            w = w.astype(x.dtype)
+            x = x * (1.0 - w) + mask_token.astype(x.dtype) * w
+
+        x = nn.Dropout(cfg.drop_rate, deterministic=deterministic)(x)
+
+        dpr = np.linspace(0, cfg.drop_path_rate, sum(cfg.depths)).tolist()
+        block_idx = 0
+        num_stages = len(cfg.depths)
+        for i_stage in range(num_stages):
+            dim = int(cfg.embed_dim * 2 ** i_stage)
+            shift = tuple(s // 2 for s in cfg.window_size)
+            # static_argnums=(2,): `deterministic` is a python bool, not a tracer
+            block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
+                         if cfg.use_checkpoint else SwinBlock3D)
+            for i_blk in range(cfg.depths[i_stage]):
+                x = block_cls(
+                    dim=dim,
+                    num_heads=cfg.num_heads[i_stage],
+                    window_size=cfg.window_size,
+                    shift_size=(0, 0, 0) if i_blk % 2 == 0 else shift,
+                    mlp_ratio=cfg.mlp_ratio,
+                    qkv_bias=cfg.qkv_bias,
+                    qk_scale=cfg.qk_scale,
+                    drop=cfg.drop_rate,
+                    attn_drop=cfg.attn_drop_rate,
+                    drop_path=dpr[block_idx],
+                    dtype=self.dtype,
+                    name=f"stage_{i_stage}_block_{i_blk}",
+                )(x, deterministic)
+                block_idx += 1
+            if i_stage < num_stages - 1:
+                x = PatchMerging(dim, dtype=self.dtype,
+                                 name=f"stage_{i_stage}_downsample")(x)
+
+        x = layer_norm(dtype=self.dtype, name="norm")(x)
+        if token_mask is not None:
+            return x, w
+        return x

@@ -8,9 +8,16 @@ hardware, per the driver contract.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("USE_TF", "0")  # keep transformers from importing TF
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The image's sitecustomize force-registers the axon TPU backend and exports
+# JAX_PLATFORMS=axon before conftest runs; the config flag wins over both.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

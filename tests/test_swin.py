@@ -1,0 +1,193 @@
+"""Swin3D backbone tests: window math goldens, mask correctness, shapes.
+
+Golden values come from independent loop-based numpy implementations, not
+from the vectorized code under test.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clover_tpu.models.swin3d import (
+    SwinConfig,
+    SwinTransformer3D,
+    WindowAttention3D,
+    effective_window,
+    relative_position_index,
+    shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+
+
+def test_effective_window_clamps():
+    # T latent 4 < window 8 -> clamp + zero temporal shift (reference case:
+    # 8-frame train clips, swin window (8,7,7))
+    win, shift = effective_window((4, 56, 56), (8, 7, 7), (4, 3, 3))
+    assert win == (4, 7, 7)
+    assert shift == (0, 3, 3)
+    assert effective_window((16, 7, 7), (8, 7, 7)) == (8, 7, 7)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 6, 5)).astype(np.float32))
+    win = (2, 3, 3)
+    parts = window_partition(x, win)
+    assert parts.shape == (2 * 2 * 2 * 2, 18, 5)
+    back = window_reverse(parts, win, 2, 4, 6, 6)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_manual():
+    # full == effective window (2, 2, 2): check against direct definition
+    idx = relative_position_index((2, 2, 2), (2, 2, 2))
+    pos = [(d, h, w) for d in range(2) for h in range(2) for w in range(2)]
+    for i, p in enumerate(pos):
+        for j, q in enumerate(pos):
+            rd, rh, rw = p[0] - q[0] + 1, p[1] - q[1] + 1, p[2] - q[2] + 1
+            expected = rd * 9 + rh * 3 + rw
+            assert idx[i, j] == expected
+    # uniqueness of the zero-relative position
+    assert idx[0, 0] == idx[3, 3] == idx[7, 7]
+
+
+def test_relative_position_index_clamped_equals_slice():
+    """Direct construction for a temporally clamped window must equal the
+    reference's [:N,:N] slice of the full-window index (swin :382)."""
+    full = (4, 3, 3)
+    eff = (2, 3, 3)
+    full_idx = relative_position_index(full, full)
+    eff_idx = relative_position_index(full, eff)
+    N = 2 * 3 * 3
+    np.testing.assert_array_equal(eff_idx, full_idx[:N, :N])
+
+
+def test_shift_mask_blocks_cross_region_attention():
+    window, shift = (2, 2, 2), (1, 1, 1)
+    size = (4, 4, 4)
+    mask = shift_attn_mask(size, window, shift)
+    nW = (4 // 2) ** 3
+    N = 8
+    assert mask.shape == (nW, N, N)
+    assert set(np.unique(mask)) <= {0.0, -100.0}
+    # diagonal always allowed
+    assert np.all(np.diagonal(mask, axis1=1, axis2=2) == 0.0)
+
+    # brute-force check: tokens attend iff they share a contiguity region.
+    # Regions partition *rolled* coordinates: c < size-win holds only
+    # unwrapped content; [size-win, size-sh) original high coords;
+    # [size-sh, size) wrapped-around low coords.
+    D, H, W = size
+
+    def region(c, dim_size, win, sh):
+        if c < dim_size - win:
+            return 0
+        if c < dim_size - sh:
+            return 1
+        return 2
+
+    # reconstruct region ids per rolled position, then window-partition
+    ids = np.zeros(size, dtype=np.int64)
+    for d in range(D):
+        for h in range(H):
+            for w in range(W):
+                ids[d, h, w] = (
+                    region(d, D, window[0], shift[0]) * 9
+                    + region(h, H, window[1], shift[1]) * 3
+                    + region(w, W, window[2], shift[2])
+                )
+    wins = ids.reshape(2, 2, 2, 2, 2, 2).transpose(0, 2, 4, 1, 3, 5).reshape(nW, N)
+    for wi in range(nW):
+        for a in range(N):
+            for b in range(N):
+                allowed = wins[wi, a] == wins[wi, b]
+                assert (mask[wi, a, b] == 0.0) == allowed
+
+
+def test_shift_mask_none_without_shift():
+    assert shift_attn_mask((4, 4, 4), (2, 2, 2), (0, 0, 0)) is None
+
+
+def test_window_attention_golden(rng):
+    """WindowAttention3D vs loop-based numpy attention with the same params."""
+    dim, heads, win = 8, 2, (2, 2, 2)
+    N = 8
+    model = WindowAttention3D(dim, win, heads, qkv_bias=True)
+    x = jnp.asarray(rng.normal(size=(3, N, dim)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, win)["params"]
+    out = model.apply({"params": params}, x, win)
+
+    qkv_k = np.asarray(params["qkv"]["kernel"])
+    qkv_b = np.asarray(params["qkv"]["bias"])
+    proj_k = np.asarray(params["proj"]["kernel"])
+    proj_b = np.asarray(params["proj"]["bias"])
+    table = np.asarray(params["relative_position_bias_table"])
+    idx = relative_position_index(win, win)
+
+    xn = np.asarray(x)
+    expected = np.zeros_like(xn)
+    hd = dim // heads
+    scale = hd ** -0.5
+    for b in range(3):
+        qkv = xn[b] @ qkv_k + qkv_b  # (N, 3*dim)
+        q, k, v = qkv[:, :dim], qkv[:, dim:2 * dim], qkv[:, 2 * dim:]
+        heads_out = []
+        for h in range(heads):
+            qs = q[:, h * hd:(h + 1) * hd] * scale
+            ks = k[:, h * hd:(h + 1) * hd]
+            vs = v[:, h * hd:(h + 1) * hd]
+            logits = qs @ ks.T + table[idx, h]
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p = p / p.sum(-1, keepdims=True)
+            heads_out.append(p @ vs)
+        expected[b] = np.concatenate(heads_out, axis=-1) @ proj_k + proj_b
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return SwinConfig(
+        patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+        depths=(2, 2), num_heads=(2, 4), window_size=(2, 2, 2),
+        drop_path_rate=0.0, mask_token=True)
+
+
+def test_swin_forward_shapes(tiny_cfg, rng):
+    model = SwinTransformer3D(tiny_cfg)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    # T: 4/2=2; H,W: 16/4=4 then one merge -> 2; C: 8*2=16
+    assert out.shape == (2, 2, 2, 2, 16)
+
+
+def test_swin_mask_token_mixing(tiny_cfg, rng):
+    model = SwinTransformer3D(tiny_cfg)
+    x = jnp.asarray(rng.normal(size=(1, 4, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert "mask_token" in params
+    # all-ones mask replaces every token; all-zeros must equal unmasked pass
+    zero_mask = jnp.zeros((1, 4, 4), dtype=jnp.int32)
+    out_masked, w = model.apply({"params": params}, x, zero_mask)
+    out_plain = model.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_plain),
+                               atol=1e-6)
+    assert float(jnp.sum(w)) == 0.0
+    one_mask = jnp.ones((1, 4, 4), dtype=jnp.int32)
+    out_all, w_all = model.apply({"params": params}, x, one_mask)
+    assert float(jnp.mean(w_all)) == 1.0
+    assert not np.allclose(np.asarray(out_all), np.asarray(out_plain))
+
+
+def test_swin_temporal_clamp_runs(tiny_cfg, rng):
+    """Input shorter than the temporal window (the live train-config case)."""
+    cfg = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                     depths=(2,), num_heads=(2,), window_size=(8, 2, 2),
+                     drop_path_rate=0.0)
+    model = SwinTransformer3D(cfg)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 2, 2, 2, 8)
