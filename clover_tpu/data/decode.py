@@ -1,0 +1,141 @@
+"""Pluggable video/image decode backends (host side).
+
+The reference's hot decode path is Decord (C++/FFmpeg,
+datasets/pipelines/loading.py:1499-1621) with PyAV/OpenCV/PIMS/FFmpeg
+alternates. Here one small interface serves every consumer:
+
+    backend.decode(path, frame_indices) -> uint8 RGB (N, H, W, 3)
+
+Backends in this image: OpenCV (FFmpeg under the hood), imageio, image
+files (PIL/cv2), and a deterministic synthetic generator for CI and
+benchmarks. Decord/PyAV slots can be added behind the same interface
+where available.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class DecodeError(RuntimeError):
+    pass
+
+
+class OpenCVVideoBackend:
+    """cv2.VideoCapture-based decode; handles arbitrary frame index sets."""
+
+    def num_frames(self, path: str) -> int:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        try:
+            n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        finally:
+            cap.release()
+        return n
+
+    def decode(self, path: str, frame_indices: Sequence[int]) -> np.ndarray:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        if not cap.isOpened():
+            raise DecodeError(f"cannot open video {path}")
+        try:
+            # sequential read with seeks only on gaps — cheaper than
+            # per-frame seeks for the near-sorted TSN index pattern
+            order = np.argsort(frame_indices)
+            sorted_inds = np.asarray(frame_indices)[order]
+            frames: dict = {}
+            pos = -1
+            for idx in sorted_inds:
+                idx = int(idx)
+                if idx in frames:
+                    continue
+                if idx != pos + 1:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                ok, frame = cap.read()
+                if not ok:
+                    raise DecodeError(f"failed to read frame {idx} of {path}")
+                frames[idx] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                pos = idx
+            return np.stack([frames[int(i)] for i in frame_indices])
+        finally:
+            cap.release()
+
+
+class ImageFileBackend:
+    """Single-image 'video' (CC3M image pretraining, T=1)."""
+
+    def num_frames(self, path: str) -> int:
+        return 1
+
+    def decode(self, path: str, frame_indices: Sequence[int]) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise DecodeError(f"cannot read image {path}")
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return np.stack([rgb] * len(frame_indices))
+
+
+class RawFrameBackend:
+    """Directory-of-frames decode (reference RawFrameDecode)."""
+
+    def __init__(self, filename_tmpl: str = "img_{:05d}.jpg", start_index: int = 1):
+        self.filename_tmpl = filename_tmpl
+        self.start_index = start_index
+
+    def num_frames(self, path: str) -> int:
+        return len([f for f in os.listdir(path) if not f.startswith(".")])
+
+    def decode(self, path: str, frame_indices: Sequence[int]) -> np.ndarray:
+        import cv2
+
+        frames = []
+        for idx in frame_indices:
+            fp = os.path.join(path, self.filename_tmpl.format(int(idx) + self.start_index))
+            img = cv2.imread(fp, cv2.IMREAD_COLOR)
+            if img is None:
+                raise DecodeError(f"cannot read frame {fp}")
+            frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        return np.stack(frames)
+
+
+class SyntheticVideoBackend:
+    """Deterministic procedural frames keyed by path hash — no IO.
+
+    Used by CI, unit tests, and input-pipeline benchmarks; every "video"
+    has a stable length and content derived from its name.
+    """
+
+    def __init__(self, height: int = 240, width: int = 320, length: int = 64):
+        self.height, self.width, self.length = height, width, length
+
+    def num_frames(self, path: str) -> int:
+        return self.length
+
+    def decode(self, path: str, frame_indices: Sequence[int]) -> np.ndarray:
+        seed = abs(hash(path)) % (2 ** 31)
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256, size=(self.height, self.width, 3), dtype=np.uint8)
+        frames = []
+        for idx in frame_indices:
+            # time-varying roll keeps frames distinct but cheap
+            frames.append(np.roll(base, shift=int(idx) * 3, axis=1))
+        return np.stack(frames)
+
+
+def get_backend(name: str, **kwargs):
+    backends = {
+        "opencv": OpenCVVideoBackend,
+        "image": ImageFileBackend,
+        "rawframes": RawFrameBackend,
+        "synthetic": SyntheticVideoBackend,
+    }
+    if name not in backends:
+        raise ValueError(f"unknown decode backend {name!r}; have {sorted(backends)}")
+    return backends[name](**kwargs)

@@ -1,0 +1,148 @@
+"""Batching, sharded sampling, worker prefetch, device transfer.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(mmaction/datasets/builder.py:27-126, samplers/distributed_sampler.py:8-44)
+with a lean host pipeline:
+
+- ShardedSampler: deterministic (seed+epoch) shuffle, pad-to-divisible,
+  rank-strided subsampling — same contract as the reference sampler, used
+  for multi-host sharding (one process per host; within a host pjit
+  shards the global batch over local devices).
+- DataLoader: thread-pool sample fetch + bounded prefetch queue. Decode
+  and cv2 resize release the GIL in C++, so threads overlap well; a
+  process-pool backend can slot in later for pure-python-heavy pipelines.
+- prefetch_to_device: keeps N batches in flight on the mesh (double
+  buffering), the jax analogue of pin_memory+non_blocking copies.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from clover_tpu.parallel.mesh import shard_batch_pytree
+
+
+class ShardedSampler:
+    """Deterministic epoch-shuffled, rank-strided index sampler."""
+
+    def __init__(self, n: int, rank: int = 0, world_size: int = 1,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = False,
+                 batch_size: int = 1):
+        self.n = n
+        self.rank = rank
+        self.world_size = world_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.batch_size = batch_size
+
+    def indices(self, epoch: int) -> np.ndarray:
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(order)
+        chunk = self.world_size * self.batch_size
+        if self.drop_last:
+            usable = (len(order) // chunk) * chunk
+            order = order[:usable]
+        else:
+            pad = (-len(order)) % chunk
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+        return order[self.rank::self.world_size]
+
+
+def default_collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for key in samples[0]:
+        out[key] = np.stack([np.asarray(s[key]) for s in samples])
+    return out
+
+
+class DataLoader:
+    """Iterates collated batches with worker-thread prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        rank: int = 0,
+        world_size: int = 1,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        collate_fn=default_collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn
+        self.sampler = ShardedSampler(
+            len(dataset), rank=rank, world_size=world_size, shuffle=shuffle,
+            seed=seed, drop_last=drop_last, batch_size=batch_size)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        per_rank = len(self.sampler.indices(0))
+        if self.drop_last:
+            return per_rank // self.batch_size
+        return (per_rank + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self.sampler.indices(epoch)
+        n_batches = len(self)
+        batches = [
+            indices[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        def fetch_batch(batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
+            return self.collate_fn([self.dataset[int(i)] for i in batch_idx])
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            inflight: List = []
+            it = iter(batches)
+            # prime the pipeline
+            for _ in range(min(self.prefetch + 1, n_batches)):
+                inflight.append(pool.submit(fetch_batch, next(it)))
+            for fut in iter(lambda: inflight.pop(0) if inflight else None, None):
+                try:
+                    nxt = next(it)
+                    inflight.append(pool.submit(fetch_batch, nxt))
+                except StopIteration:
+                    pass
+                yield fut.result()
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+def prefetch_to_device(
+    batch_iter: Iterator[Dict[str, np.ndarray]],
+    mesh=None,
+    size: int = 2,
+):
+    """Keep ``size`` batches resident on device ahead of the consumer."""
+    import jax
+
+    buf: List[Any] = []
+
+    def put(b):
+        if mesh is not None:
+            return shard_batch_pytree(b, mesh)
+        return jax.tree_util.tree_map(jax.device_put, b)
+
+    for batch in batch_iter:
+        buf.append(put(batch))
+        if len(buf) > size:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)

@@ -1,0 +1,117 @@
+"""Fused on-device preprocessing (crop + resize + flip + normalize).
+
+The reference runs its frame geometry on host CPU via mmcv/OpenCV
+(Resize/RandomResizedCrop/CenterCrop/Flip/Normalize,
+mmaction/datasets/pipelines/augmentations.py) per worker. TPU-first split
+(SURVEY.md §2.4 "north star"):
+
+- host: decode + one aspect-preserving short-side resize to a fixed
+  canonical square (C++ inside cv2) so batch shapes are static;
+- device: everything else fused into ONE jitted op — per-sample crop box
+  applied with ``jax.image.scale_and_translate`` (dynamic geometry, static
+  shapes), horizontal flip, mean/std normalization, dtype cast. uint8
+  travels over PCIe; floats never leave the chip.
+
+Normalization matches the reference's ImageNet stats; frames here are RGB
+with RGB-ordered stats (the reference keeps BGR frames with BGR stats —
+identical math, msrvtt_retrieval.py:12-13).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# RGB order
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def canonical_host_resize(frames: np.ndarray, canonical: int) -> np.ndarray:
+    """Aspect-preserving short-side resize + center crop to (canonical,
+    canonical); uint8 in/out. Host-side (cv2), amortized per decode."""
+    import cv2
+
+    out = np.empty((frames.shape[0], canonical, canonical, 3), dtype=np.uint8)
+    for i, frame in enumerate(frames):
+        h, w = frame.shape[:2]
+        scale = canonical / min(h, w)
+        nh, nw = max(canonical, int(round(h * scale))), max(canonical, int(round(w * scale)))
+        resized = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        y0 = (nh - canonical) // 2
+        x0 = (nw - canonical) // 2
+        out[i] = resized[y0:y0 + canonical, x0:x0 + canonical]
+    return out
+
+
+def random_resized_crop_params(
+    rng: np.random.Generator,
+    size: int,
+    area_range: Tuple[float, float] = (0.08, 1.0),
+    aspect_range: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """Sample an (y0, x0, h, w) crop box in pixels inside a size x size frame
+    (mmaction RandomResizedCrop semantics, augmentations.py)."""
+    for _ in range(10):
+        area = size * size * rng.uniform(*area_range)
+        aspect = np.exp(rng.uniform(np.log(aspect_range[0]), np.log(aspect_range[1])))
+        w = int(round(np.sqrt(area * aspect)))
+        h = int(round(np.sqrt(area / aspect)))
+        if 0 < w <= size and 0 < h <= size:
+            y0 = rng.integers(0, size - h + 1)
+            x0 = rng.integers(0, size - w + 1)
+            return np.asarray([y0, x0, h, w], dtype=np.float32)
+    # fallback: central max square
+    return np.asarray([0, 0, size, size], dtype=np.float32)
+
+
+def center_crop_params(size: int, crop: int) -> np.ndarray:
+    off = (size - crop) / 2.0
+    return np.asarray([off, off, crop, crop], dtype=np.float32)
+
+
+def _process_clip(clip, box, flip, out_size, mean, std, method):
+    """clip (T, S, S, 3) float32; box (4,); flip scalar bool."""
+    T = clip.shape[0]
+    y0, x0, h, w = box[0], box[1], box[2], box[3]
+    scale = jnp.stack([out_size / h, out_size / w])
+    translation = jnp.stack([-y0 * out_size / h, -x0 * out_size / w])
+    resized = jax.image.scale_and_translate(
+        clip, (T, out_size, out_size, 3), (1, 2), scale, translation,
+        method=method, antialias=False)
+    flipped = jnp.where(flip, resized[:, :, ::-1, :], resized)
+    return (flipped - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "method", "dtype"))
+def preprocess_clips(
+    frames_u8: jax.Array,          # (B, T, S, S, 3) uint8
+    boxes: jax.Array,              # (B, 4) float32 (y0, x0, h, w) pixels
+    flips: jax.Array,              # (B,) bool
+    out_size: int = 224,
+    method: str = "linear",
+    dtype: Any = jnp.bfloat16,
+) -> jax.Array:
+    """One fused device op: crop-resize + flip + normalize + cast."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    clips = frames_u8.astype(jnp.float32)
+    out = jax.vmap(
+        lambda c, b, f: _process_clip(c, b, f, out_size, mean, std, method)
+    )(clips, boxes, flips)
+    return out.astype(dtype)
+
+
+def eval_preprocess(frames_u8: jax.Array, out_size: int = 224,
+                    dtype: Any = jnp.bfloat16) -> jax.Array:
+    """Center-crop eval path: canonical square in, normalized out."""
+    B = frames_u8.shape[0]
+    S = frames_u8.shape[2]
+    boxes = jnp.broadcast_to(
+        jnp.asarray(center_crop_params(S, min(S, out_size))), (B, 4))
+    flips = jnp.zeros((B,), dtype=bool)
+    return preprocess_clips(frames_u8, boxes, flips, out_size=out_size, dtype=dtype)

@@ -1,0 +1,186 @@
+"""Data-layer tests: tokenizer, masking engines, sampling, datasets, loader."""
+
+import numpy as np
+import pytest
+
+from clover_tpu.data import (
+    BertTokenizer,
+    DataLoader,
+    MaskingGenerator,
+    RandomMaskGenerator,
+    ShardedSampler,
+    build_test_vocab,
+    make_synthetic_retrieval_dataset,
+    sample_frame_indices,
+)
+from clover_tpu.data.text_masking import (
+    IGNORE_INDEX,
+    content_word_mask,
+    hf_style_mask,
+    whole_word_mask,
+)
+from clover_tpu.data.tokenization import basic_tokenize, wordpiece_tokenize
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return BertTokenizer(build_test_vocab(
+        "the a dog cat runs jumps quickly park happy".split()))
+
+
+def test_basic_tokenize():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("Café") == ["cafe"]  # accent strip
+    assert basic_tokenize("don't stop") == ["don", "'", "t", "stop"]
+
+
+def test_wordpiece_greedy(tok):
+    # 'dog' is whole-word in vocab
+    assert wordpiece_tokenize("dog", tok.vocab) == ["dog"]
+    # unseen word decomposes into char pieces from the test vocab
+    pieces = wordpiece_tokenize("dogs", tok.vocab)
+    assert pieces[0] == "dog" or pieces[0] == "d"
+    assert all(p in tok.vocab for p in pieces)
+
+
+def test_encode_shapes_and_specials(tok):
+    enc = tok.encode("the dog runs", max_length=10)
+    assert enc["token_ids"].shape == (10,)
+    assert enc["token_ids"][0] == tok.cls_id
+    n = int(enc["input_mask"].sum())
+    assert enc["token_ids"][n - 1] == tok.sep_id
+    assert np.all(enc["token_ids"][n:] == tok.pad_id)
+    # truncation
+    enc2 = tok.encode("the dog runs " * 20, max_length=8)
+    assert int(enc2["input_mask"].sum()) == 8
+    assert enc2["token_ids"][7] == tok.sep_id
+
+
+def test_encode_pair_segments(tok):
+    enc = tok.encode("the dog", max_length=12, second_text="runs quickly")
+    ids, seg = enc["token_ids"], enc["segment_ids"]
+    sep_positions = np.where(ids == tok.sep_id)[0]
+    assert len(sep_positions) == 2
+    assert seg[sep_positions[0]] == 0
+    assert seg[sep_positions[1]] == 1
+
+
+def test_decode_roundtrip(tok):
+    enc = tok.encode("the happy dog jumps", max_length=16)
+    n = int(enc["input_mask"].sum())
+    assert tok.decode(enc["token_ids"][:n]) == "the happy dog jumps"
+
+
+def test_hf_style_mask(tok):
+    rng = np.random.default_rng(0)
+    enc = tok.encode("the dog runs quickly in the park", max_length=20)
+    masked, label = hf_style_mask(enc["token_ids"], tok, rng, mlm_probability=0.5)
+    changed = label != IGNORE_INDEX
+    assert changed.any()
+    # labels hold original ids; unmasked positions untouched
+    np.testing.assert_array_equal(masked[~changed], enc["token_ids"][~changed])
+    np.testing.assert_array_equal(label[changed], enc["token_ids"][changed])
+    # specials never masked
+    assert label[0] == IGNORE_INDEX
+    n = int(enc["input_mask"].sum())
+    assert label[n - 1] == IGNORE_INDEX and np.all(label[n:] == IGNORE_INDEX)
+
+
+def test_whole_word_mask_groups(tok):
+    rng = np.random.default_rng(1)
+    # 'dogs' splits into pieces; whole-word masking must mask all-or-none
+    enc = tok.encode("dogs runs", max_length=16)
+    for _ in range(20):
+        masked, label = whole_word_mask(enc["token_ids"], tok, rng,
+                                        mlm_probability=0.4)
+        # find the piece group for 'dogs'
+        toks = [tok.inv_vocab[int(i)] for i in enc["token_ids"]]
+        group = [i for i, t in enumerate(toks)
+                 if t.startswith("##") or t in ("dog", "d")]
+        # contiguous group positions: masked together or not at all
+        flags = [label[i] != IGNORE_INDEX for i in group]
+        assert all(flags) or not any(flags)
+
+
+def test_content_word_mask_prefers_content(tok):
+    rng = np.random.default_rng(2)
+    enc = tok.encode("the dog", max_length=10)
+    hit_content = 0
+    for _ in range(20):
+        masked, label = content_word_mask(enc["token_ids"], tok, rng,
+                                          mlm_probability=0.2)
+        pos = np.where(label != IGNORE_INDEX)[0]
+        assert len(pos) >= 1
+        if all(tok.inv_vocab[int(enc["token_ids"][p])] != "the" for p in pos):
+            hit_content += 1
+    assert hit_content == 20  # 'dog' always preferred over stop word 'the'
+
+
+def test_sample_frames_train_and_test():
+    rng = np.random.default_rng(0)
+    inds = sample_frame_indices(100, num_clips=8, test_mode=False, rng=rng)
+    assert inds.shape == (8,)
+    assert np.all((inds >= 0) & (inds < 100))
+    assert np.all(np.diff(inds) > 0)  # segment-ordered
+    test_inds = sample_frame_indices(100, num_clips=8, test_mode=True)
+    expected = (np.arange(8) * 12.5 + 6.25).astype(np.int64)
+    np.testing.assert_array_equal(test_inds, expected)
+    # short video: loops indices into range
+    short = sample_frame_indices(3, num_clips=8, test_mode=True)
+    assert np.all(short < 3)
+
+
+def test_masking_generators():
+    rng = np.random.default_rng(0)
+    gen = MaskingGenerator((7, 7), num_masking_patches=10)
+    m = gen(rng)
+    assert m.shape == (7, 7)
+    assert m.sum() == 10
+    rnd = RandomMaskGenerator((7, 7), 10)
+    m2 = rnd(rng)
+    assert m2.sum() == 10
+
+
+def test_sharded_sampler_partitions():
+    s = [ShardedSampler(103, rank=r, world_size=4, seed=7, batch_size=2)
+         for r in range(4)]
+    idx = [x.indices(epoch=3) for x in s]
+    # equal lengths, union covers dataset, deterministic
+    assert len({len(i) for i in idx}) == 1
+    all_idx = np.concatenate(idx)
+    assert set(all_idx.tolist()) == set(range(103))
+    np.testing.assert_array_equal(idx[0], s[0].indices(epoch=3))
+    assert not np.array_equal(s[0].indices(0), s[0].indices(1))  # reshuffles
+
+
+def test_synthetic_dataset_and_loader():
+    ds = make_synthetic_retrieval_dataset(n_videos=10, num_frames=4,
+                                          mlm=True, video_mask=True)
+    sample = ds[0]
+    assert sample["imgs"].shape == (1, 4, 64, 64, 3)
+    assert sample["imgs"].dtype == np.uint8
+    assert sample["token_ids"].shape == (16,)
+    assert sample["v_token_mask"].shape == (7, 7)
+    assert (sample["mlm_label"] != IGNORE_INDEX).any()
+    # determinism
+    np.testing.assert_array_equal(ds[3]["imgs"], ds[3]["imgs"])
+
+    loader = DataLoader(ds, batch_size=4, num_workers=2, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # 10 // 4 with drop_last
+    b = batches[0]
+    assert b["imgs"].shape == (4, 1, 4, 64, 64, 3)
+    assert b["token_ids"].shape == (4, 16)
+    assert b["crop_boxes"].shape == (4, 4)
+    # same epoch same data
+    again = list(DataLoader(ds, batch_size=4, num_workers=2, seed=0).epoch(0))
+    np.testing.assert_array_equal(b["imgs"], again[0]["imgs"])
+
+
+def test_test_mode_expands_captions():
+    ds = make_synthetic_retrieval_dataset(n_videos=5, captions_per_video=3,
+                                          test_mode=True)
+    assert len(ds) == 15
+    s = ds[7]
+    assert s["video_index"] == 7 // 3
+    assert len(ds.text_video_ids) == 5
