@@ -1,0 +1,111 @@
+"""Distributed evaluation loops.
+
+Equivalent of the reference's multi_gpu_test_* functions + evaluate
+dispatch (core/hooks/my_eval_hook.py:20-401, SURVEY.md §3.4):
+
+- run forward_test over the test loader, collecting per-entry embeddings
+  (retrieval) or score vectors (QA) plus their dataset indices;
+- de-duplicate sampler-padded entries by index (the reference's
+  np.unique dedup, my_eval_hook.py:92-98) and re-sort;
+- reduce video embeddings per video (multi-caption datasets) and compute
+  the dataset's metric.
+
+Under pjit the per-batch forward is already global; host gathering across
+processes (multi-host) would use jax.experimental.multihost_utils —
+single-host here, hook point marked.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from clover_tpu.evaluation.metrics import (
+    qa_accuracy,
+    retrieval_recall,
+    retrieval_recall_varied,
+)
+from clover_tpu.ops.preprocess import eval_preprocess
+
+
+def _dedup_sort(indices: np.ndarray, *arrays):
+    """Drop sampler-padding duplicates, return arrays sorted by index."""
+    _, first = np.unique(indices, return_index=True)
+    order = first[np.argsort(indices[first])]
+    return [a[order] for a in arrays]
+
+
+def run_retrieval_eval(
+    eval_step: Callable,
+    params,
+    dataset,
+    loader_iter,
+    out_size: int = 224,
+    dtype=jnp.float32,
+) -> Dict[str, float]:
+    """Dual-tower retrieval eval -> R@K metrics.
+
+    ``eval_step(params, imgs, token_ids, input_mask) -> (v_emb, t_emb)``.
+    """
+    v_list: List[np.ndarray] = []
+    t_list: List[np.ndarray] = []
+    idx_list: List[np.ndarray] = []
+    vid_list: List[np.ndarray] = []
+    for batch in loader_iter:
+        imgs = eval_preprocess(
+            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
+            out_size=out_size, dtype=dtype)
+        n_clips = batch["imgs"].shape[1]
+        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        v, t = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
+                         jnp.asarray(batch["input_mask"]))
+        v_list.append(np.asarray(v, np.float32))
+        t_list.append(np.asarray(t, np.float32))
+        idx_list.append(np.asarray(batch["index"]))
+        vid_list.append(np.asarray(batch["video_index"]))
+
+    v = np.concatenate(v_list)
+    t = np.concatenate(t_list)
+    idx = np.concatenate(idx_list)
+    vids = np.concatenate(vid_list)
+    v, t, vids = _dedup_sort(idx, v, t, vids)
+
+    captions_per_video = [len(ids) for ids in dataset.text_video_ids]
+    if all(c == 1 for c in captions_per_video):
+        return retrieval_recall(video_embd=v, text_embd=t)
+    # varied: one video embedding per video (first entry), every caption a query
+    _, first = np.unique(vids, return_index=True)
+    video_embd = v[np.sort(first)]
+    return retrieval_recall_varied(video_embd, t, dataset.text_video_ids)
+
+
+def run_qa_eval(
+    eval_step: Callable,
+    params,
+    dataset,
+    loader_iter,
+    out_size: int = 224,
+    dtype=jnp.float32,
+) -> Dict[str, float]:
+    """QA eval: argmax accuracy over per-candidate scores."""
+    scores: List[np.ndarray] = []
+    labels: List[np.ndarray] = []
+    idx_list: List[np.ndarray] = []
+    for batch in loader_iter:
+        imgs = eval_preprocess(
+            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
+            out_size=out_size, dtype=dtype)
+        n_clips = batch["imgs"].shape[1]
+        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        s = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
+                      jnp.asarray(batch["input_mask"]))
+        scores.append(np.asarray(s, np.float32))
+        labels.append(np.asarray(batch["label"]))
+        idx_list.append(np.asarray(batch["index"]))
+    s = np.concatenate(scores)
+    y = np.concatenate(labels)
+    idx = np.concatenate(idx_list)
+    s, y = _dedup_sort(idx, s, y)
+    return qa_accuracy(s, y)

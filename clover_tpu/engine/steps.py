@@ -1,0 +1,117 @@
+"""Jitted train / eval step factories.
+
+Each task's whole iteration — forward graph(s), losses, backward,
+clipping, AdamW update, EMA — is ONE jit compile unit (SURVEY.md §7.1),
+the TPU-native replacement for the reference's runner + Fp16OptimizerHook
+ping-pong (clover_runner.py + mmcv_Fp16OptimizerHook.py). bf16 compute
+happens inside the model (dtype policy); params/optimizer stay fp32, so
+no loss scaling is needed.
+
+Metrics returned per step mirror the reference log_vars keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from clover_tpu.engine.train_state import TrainState
+from clover_tpu.losses.objectives import (
+    PretrainLossConfig,
+    pretrain_losses,
+    qa_loss,
+    retrieval_loss,
+    total_loss,
+)
+
+
+def _finalize(state: TrainState, grads, losses, ema_momentum):
+    tot = total_loss(losses)
+    new_state = state.apply_gradients(grads, ema_momentum=ema_momentum)
+    metrics = dict(losses)
+    metrics["loss"] = tot
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
+def make_pretrain_train_step(
+    model,
+    loss_cfg: PretrainLossConfig = PretrainLossConfig(),
+    ema_momentum: Optional[float] = None,
+) -> Callable:
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, batch, train=True,
+                              rngs={"dropout": step_rng})
+            losses = pretrain_losses(out, batch["mlm_label"], loss_cfg)
+            return total_loss(losses), losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _finalize(state, grads, losses, ema_momentum)
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_retrieval_train_step(
+    model,
+    temperature: float = 0.05,
+    cos_sim: bool = True,
+    ema_momentum: Optional[float] = None,
+) -> Callable:
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            v, t = model.apply({"params": params}, batch, train=True,
+                               rngs={"dropout": step_rng})
+            losses = retrieval_loss(v, t, temperature=temperature, cos_sim=cos_sim)
+            return total_loss(losses), losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _finalize(state, grads, losses, ema_momentum)
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_qa_train_step(
+    model,
+    ema_momentum: Optional[float] = None,
+) -> Callable:
+    def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits = model.apply({"params": params}, batch, train=True,
+                                 rngs={"dropout": step_rng})
+            losses = qa_loss(logits, batch["label"])
+            return total_loss(losses), losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _finalize(state, grads, losses, ema_momentum)
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_embed_eval_step(model) -> Callable:
+    """separate_test dual-tower embeddings (retrieval eval)."""
+
+    @jax.jit
+    def step(params, imgs, token_ids, input_mask):
+        return model.apply({"params": params}, imgs, token_ids, input_mask,
+                           method="forward_test")
+
+    return step
+
+
+def make_qa_eval_step(model) -> Callable:
+    @jax.jit
+    def step(params, imgs, token_ids, input_mask):
+        return model.apply({"params": params}, imgs, token_ids, input_mask,
+                           method="forward_test")
+
+    return step

@@ -165,9 +165,11 @@ class CloverFinetune(nn.Module):
         cfg = self.config
         det = not train
         B = batch["imgs"].shape[0]
-        imgs = batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])
-        token_ids = batch["token_ids"].reshape((-1,) + batch["token_ids"].shape[2:])
-        input_mask = batch["input_mask"].reshape((-1,) + batch["input_mask"].shape[2:])
+        imgs = batch["imgs"].reshape((-1,) + batch["imgs"].shape[-4:])
+        token_ids = batch["token_ids"].reshape(
+            (-1,) + batch["token_ids"].shape[-1:])
+        input_mask = batch["input_mask"].reshape(
+            (-1,) + batch["input_mask"].shape[-1:])
         visual_feat = self._visual_feat(imgs, B, det)
         if cfg.task == "retrieval":
             text_hidden = self.text_backbone(token_ids, input_mask,
@@ -184,9 +186,9 @@ class CloverFinetune(nn.Module):
     ):
         cfg = self.config
         B = imgs.shape[0]
-        imgs = imgs.reshape((-1,) + imgs.shape[2:])
-        token_ids = token_ids.reshape((-1,) + token_ids.shape[2:])
-        input_mask = input_mask.reshape((-1,) + input_mask.shape[2:])
+        imgs = imgs.reshape((-1,) + imgs.shape[-4:])
+        token_ids = token_ids.reshape((-1,) + token_ids.shape[-1:])
+        input_mask = input_mask.reshape((-1,) + input_mask.shape[-1:])
         visual_feat = self._visual_feat(imgs, B, True)
         if cfg.task == "retrieval":
             text_hidden = self.text_backbone(token_ids, input_mask,

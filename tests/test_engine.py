@@ -1,0 +1,186 @@
+"""Engine tests: optimizer masks/schedules, train steps improve loss,
+checkpoint roundtrip + best tracking, retrieval eval loop end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clover_tpu.data import DataLoader, make_synthetic_retrieval_dataset
+from clover_tpu.engine import (
+    CheckpointManager,
+    TrainState,
+    cosine_warmup_schedule,
+    freeze_by_prefix,
+    make_embed_eval_step,
+    make_optimizer,
+    make_retrieval_train_step,
+    run_retrieval_eval,
+    weight_decay_mask,
+)
+from clover_tpu.models import (
+    BertConfig,
+    CloverFinetune,
+    FinetuneConfig,
+    FusionConfig,
+    SwinConfig,
+)
+from clover_tpu.ops.preprocess import preprocess_clips
+
+
+def _tiny_model(vocab_size):
+    bert = BertConfig(vocab_size=vocab_size, hidden_size=16, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=32,
+                      hidden_dropout=0.0, attention_dropout=0.0)
+    swin = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                      depths=(1, 1), num_heads=(2, 2), window_size=(2, 2, 2),
+                      drop_path_rate=0.0)
+    fus = FusionConfig(bert=bert, img_in_size=16, hidden_size=16, num_frames=2,
+                       spatial_tokens=16)
+    return CloverFinetune(FinetuneConfig(
+        swin=swin, text_bert=bert, fusion=fus, task="retrieval",
+        vts_embed_dim=16))
+
+
+def test_weight_decay_mask_exemptions():
+    params = {
+        "layer": {"kernel": np.zeros((2, 2)), "bias": np.zeros(2)},
+        "norm": {"scale": np.ones(2), "bias": np.zeros(2)},
+        "attn": {"relative_position_bias_table": np.zeros((5, 2))},
+        "emb": {"embedding": np.zeros((4, 2))},
+        "vis_space_pos": np.zeros((1, 1, 4, 2)),
+    }
+    mask = weight_decay_mask(params)
+    assert mask["layer"]["kernel"] is True
+    assert mask["layer"]["bias"] is False
+    assert mask["norm"]["scale"] is False
+    assert mask["attn"]["relative_position_bias_table"] is False
+    assert mask["emb"]["embedding"] is False
+    assert mask["vis_space_pos"] is False
+
+
+def test_cosine_warmup_schedule():
+    sched = cosine_warmup_schedule(1.0, total_steps=100, warmup_steps=10,
+                                   warmup_start_ratio=0.001, min_lr_ratio=0.1)
+    assert float(sched(0)) == pytest.approx(0.001, rel=1e-3)
+    assert float(sched(10)) == pytest.approx(1.0, rel=1e-3)
+    assert float(sched(100)) == pytest.approx(0.1, rel=1e-2)
+    # monotone decay after warmup
+    vals = [float(sched(s)) for s in range(10, 101, 10)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_freeze_by_prefix():
+    params = {"text_backbone": {"w": np.zeros(2)}, "backbone": {"w": np.zeros(2)}}
+    mask = freeze_by_prefix(params, ("text_backbone",))
+    assert mask["text_backbone"]["w"] is False
+    assert mask["backbone"]["w"] is True
+
+
+@pytest.fixture(scope="module")
+def retrieval_setup():
+    ds = make_synthetic_retrieval_dataset(n_videos=8, num_frames=4,
+                                          canonical_size=40)
+    model = _tiny_model(ds.tokenizer.vocab_size)
+    loader = DataLoader(ds, batch_size=4, num_workers=2)
+    batch = next(iter(loader))
+
+    def to_model_batch(batch):
+        imgs = preprocess_clips(
+            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
+            jnp.asarray(batch["crop_boxes"]), jnp.asarray(batch["flip"]),
+            out_size=32, dtype=jnp.float32)
+        return {"imgs": imgs[:, None], "token_ids": jnp.asarray(batch["token_ids"])[:, None],
+                "input_mask": jnp.asarray(batch["input_mask"])[:, None]}
+
+    mb = to_model_batch(batch)
+    params = model.init(jax.random.PRNGKey(0), mb, train=False)["params"]
+    return ds, model, loader, to_model_batch, params
+
+
+def _copy(tree):
+    import jax, jax.numpy as jnp
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
+def test_train_step_improves_loss(retrieval_setup):
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    params = _copy(params)  # steps donate state; keep fixture intact
+    tx, _ = make_optimizer(params, base_lr=1e-2, total_steps=50,
+                           warmup_steps=0, weight_decay=0.0, grad_clip_norm=5.0)
+    state = TrainState.create(params, tx)
+    step_fn = make_retrieval_train_step(model)
+    rng = jax.random.PRNGKey(1)
+    batch = to_model_batch(next(iter(loader)))
+    first = None
+    for _ in range(8):
+        state, metrics = step_fn(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    assert float(metrics["loss"]) < first
+    assert int(state.step) == 8
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, retrieval_setup):
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    tx, _ = make_optimizer(params, base_lr=1e-3, total_steps=10,
+                           warmup_steps=0)
+    state = TrainState.create(_copy(params), tx)
+    step_fn = make_retrieval_train_step(model)
+    batch = to_model_batch(next(iter(loader)))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), max_to_keep=2)
+    mgr.save(state, meta={"epoch": 0})
+    assert mgr.latest_step() == 1
+
+    fresh = TrainState.create(_copy(params), tx)
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and restored state can keep training
+    restored, m = step_fn(restored, batch, jax.random.PRNGKey(0))
+    assert int(restored.step) == 2
+
+
+def test_checkpoint_best_tracking(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "c"))
+    assert mgr.update_best(1, "Recall@all", 100.0)
+    assert not mgr.update_best(2, "Recall@all", 90.0)
+    assert mgr.update_best(3, "Recall@all", 120.0)
+    assert mgr._best_step() == 3
+
+
+def test_retrieval_eval_loop(retrieval_setup):
+    ds_train, model, _, _, params = retrieval_setup
+    test_ds = make_synthetic_retrieval_dataset(
+        n_videos=6, test_mode=True, num_frames=4, test_canonical_size=40)
+    loader = DataLoader(test_ds, batch_size=3, shuffle=False, drop_last=False,
+                        num_workers=2)
+    eval_step = make_embed_eval_step(model)
+    metrics = run_retrieval_eval(eval_step, params, test_ds, loader.epoch(0),
+                                 out_size=32, dtype=jnp.float32)
+    assert set(metrics) >= {"Recall@1", "Recall@5", "Recall@10", "MR"}
+    assert 0 <= metrics["Recall@1"] <= 100
+
+
+def test_ema_params_update(retrieval_setup):
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    orig = _copy(params)
+    tx, _ = make_optimizer(params, base_lr=1e-2, total_steps=10, warmup_steps=0)
+    state = TrainState.create(_copy(params), tx, ema_params=_copy(params))
+    step_fn = make_retrieval_train_step(model, ema_momentum=0.9)
+    batch = to_model_batch(next(iter(loader)))
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    # EMA moved toward new params but not equal to them
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    o = jax.tree_util.tree_leaves(orig)[0]
+    assert not np.allclose(np.asarray(e), np.asarray(p))
+    assert not np.allclose(np.asarray(e), np.asarray(o))

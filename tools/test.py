@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Evaluation entry point (reference tools/test.py equivalent).
+
+Evaluates one checkpoint (or the latest / best in a directory) on the
+config's test split and prints a json metrics line.
+
+Usage:
+  python tools/test.py configs/exp/debug_retrieval_synthetic.py \
+      --ckpt-dir /tmp/run1/checkpoints [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a clover_tpu model")
+    p.add_argument("config")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint directory (omit for random init)")
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from clover_tpu.builder import (
+        build_dataset,
+        build_loader,
+        build_model,
+        build_tokenizer,
+    )
+    from clover_tpu.config import load_config, parse_cfg_options
+    from clover_tpu.engine import (
+        CheckpointManager,
+        make_embed_eval_step,
+        make_qa_eval_step,
+        run_qa_eval,
+        run_retrieval_eval,
+    )
+    from clover_tpu.utils.logging import get_logger
+
+    logger = get_logger()
+    cfg = load_config(args.config, overrides=parse_cfg_options(args.cfg_options))
+    tok_cfg = cfg.get("tokenizer")
+    tokenizer = build_tokenizer(tok_cfg) if tok_cfg else None
+    test_cfg = cfg.data.get("test", cfg.data.get("val"))
+    test_ds = build_dataset(test_cfg, tokenizer)
+    if tokenizer is None:
+        tokenizer = test_ds.tokenizer
+    loader = build_loader(
+        test_ds, cfg.data.get("test_loader",
+                              cfg.data.get("val_loader", {"batch_size": 8})),
+        test=True)
+
+    model, _ = build_model(cfg.model)
+    img_size = cfg.get("img_size", 224)
+
+    sample = test_ds[0]
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clover_tpu.ops.preprocess import eval_preprocess
+
+    imgs = eval_preprocess(jnp.asarray(sample["imgs"]), out_size=img_size,
+                           dtype=model.dtype)
+    init_args = (imgs[None], jnp.asarray(sample["token_ids"])[None],
+                 jnp.asarray(sample["input_mask"])[None])
+    params = model.init(jax.random.PRNGKey(0), *init_args,
+                        method="forward_test")["params"]
+
+    if args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        restored = mgr.restore_params(params, step=args.step)
+        if restored is None:
+            raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+        params = restored
+        logger.info("restored params from %s step %s", args.ckpt_dir,
+                    args.step or mgr.latest_step())
+
+    is_retrieval = (cfg.model["type"] == "CloverPretrain"
+                    or cfg.model.get("task") == "retrieval")
+    if is_retrieval:
+        eval_step = make_embed_eval_step(model)
+        metrics = run_retrieval_eval(eval_step, params, test_ds,
+                                     loader.epoch(0), out_size=img_size,
+                                     dtype=model.dtype)
+    else:
+        eval_step = make_qa_eval_step(model)
+        metrics = run_qa_eval(eval_step, params, test_ds, loader.epoch(0),
+                              out_size=img_size, dtype=model.dtype)
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+TPU-native counterpart of the reference tools/train.py +
+tools/train_multiloader.py (both covered: ``data.train`` may be a single
+dataset config or a list, which trains with interleaved per-loader steps
+like MyEpochBasedMultiDatasetRunner).
+
+Usage:
+  python tools/train.py configs/exp/debug_retrieval_synthetic.py \
+      --work-dir /tmp/run1 [--resume] [--cfg-options key=val ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a clover_tpu model")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU backend (debug/CI)")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clover_tpu.builder import (
+        build_dataset,
+        build_loader,
+        build_model,
+        build_pretrain_loss_config,
+        build_tokenizer,
+    )
+    from clover_tpu.config import load_config, parse_cfg_options
+    from clover_tpu.engine import (
+        CheckpointManager,
+        TrainState,
+        Trainer,
+        make_embed_eval_step,
+        make_optimizer,
+        make_pretrain_train_step,
+        make_qa_eval_step,
+        make_qa_train_step,
+        make_retrieval_train_step,
+        run_qa_eval,
+        run_retrieval_eval,
+    )
+    from clover_tpu.ops.preprocess import preprocess_clips
+    from clover_tpu.parallel import make_mesh, shard_batch_pytree
+    from clover_tpu.utils.logging import get_logger, param_table
+
+    logger = get_logger()
+    cfg = load_config(args.config, overrides=parse_cfg_options(args.cfg_options))
+    work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, "config.json"))
+
+    mesh = make_mesh()
+    logger.info("devices: %s (mesh axes %s)", len(jax.devices()),
+                dict(zip(mesh.axis_names, mesh.devices.shape)))
+
+    # ------------------------------------------------------------- data
+    tok_cfg = cfg.get("tokenizer")
+    tokenizer = build_tokenizer(tok_cfg) if tok_cfg else None
+    train_cfgs = cfg.data.train
+    if isinstance(train_cfgs, dict):
+        train_cfgs = [train_cfgs]
+    datasets = [build_dataset(dc, tokenizer) for dc in train_cfgs]
+    if tokenizer is None:
+        tokenizer = datasets[0].tokenizer
+    loader_cfg = cfg.data.get("train_loader", {"batch_size": 8, "num_workers": 4})
+    loaders = [build_loader(ds, loader_cfg, seed=args.seed) for ds in datasets]
+
+    # ------------------------------------------------------------- model
+    model, model_cfg = build_model(cfg.model)
+    is_pretrain = cfg.model["type"] == "CloverPretrain"
+    task = cfg.model.get("task", "retrieval")
+    img_size = cfg.get("img_size", 224)
+    compute_dtype = model.dtype
+
+    def to_model_batch(host_batch, train=True):
+        imgs = preprocess_clips(
+            host_batch["imgs"].reshape((-1,) + host_batch["imgs"].shape[2:]),
+            host_batch["crop_boxes"], host_batch["flip"],
+            out_size=img_size, dtype=compute_dtype)
+        n_cand = host_batch["imgs"].shape[1]
+        batch = {
+            "imgs": imgs.reshape((-1, n_cand) + imgs.shape[1:]),
+            "token_ids": host_batch["token_ids"],
+            "input_mask": host_batch["input_mask"],
+        }
+        for k in ("mlm_label", "v_token_mask", "label"):
+            if k in host_batch:
+                batch[k] = host_batch[k]
+        return batch
+
+    def batch_to_device(loader_idx, host_batch):
+        return to_model_batch(shard_batch_pytree(host_batch, mesh))
+
+    sample = to_model_batch(
+        shard_batch_pytree(next(iter(loaders[0])), mesh))
+    rng = jax.random.PRNGKey(args.seed)
+    params = model.init(rng, sample, train=False)["params"]
+    logger.info("\n%s", param_table(params))
+
+    # ----------------------------------------------------- optimizer
+    opt_cfg = cfg.get("optimizer", {})
+    sched_cfg = cfg.get("schedule", {})
+    steps_per_epoch = max(len(ld) for ld in loaders) * len(loaders)
+    total_steps = steps_per_epoch * cfg.total_epochs
+    warmup_epochs = sched_cfg.get("warmup_epochs", 0)
+    tx, lr_sched = make_optimizer(
+        params,
+        base_lr=opt_cfg.get("lr", 1e-4),
+        total_steps=total_steps,
+        warmup_steps=int(warmup_epochs * steps_per_epoch),
+        weight_decay=opt_cfg.get("weight_decay", 0.01),
+        betas=tuple(opt_cfg.get("betas", (0.9, 0.98))),
+        eps=opt_cfg.get("eps", 1e-8),
+        grad_clip_norm=opt_cfg.get("grad_clip", None),
+        min_lr_ratio=sched_cfg.get("min_lr_ratio", 0.0),
+        warmup_start_ratio=sched_cfg.get("warmup_start_ratio", 0.001),
+    )
+    ema_cfg = cfg.get("ema", {})
+    state = TrainState.create(
+        params, tx,
+        ema_params=params if ema_cfg.get("enabled", False) else None)
+
+    # ----------------------------------------------------- train steps
+    ema_m = ema_cfg.get("momentum", 0.9998) if ema_cfg.get("enabled") else None
+    if is_pretrain:
+        loss_cfg = build_pretrain_loss_config(cfg)
+        step = make_pretrain_train_step(model, loss_cfg, ema_momentum=ema_m)
+    elif task == "retrieval":
+        loss_type = cfg.model.get("loss", {})
+        step = make_retrieval_train_step(
+            model,
+            temperature=loss_type.get("temperature", 0.05),
+            cos_sim=loss_type.get("cos_sim", True),
+            ema_momentum=ema_m)
+    else:
+        step = make_qa_train_step(model, ema_momentum=ema_m)
+    train_steps = [step] * len(loaders)
+
+    # ----------------------------------------------------- eval
+    eval_fn = None
+    eval_cfg = cfg.get("evaluation", {})
+    if "val" in cfg.data:
+        val_ds = build_dataset(cfg.data.val, tokenizer)
+        val_loader = build_loader(
+            val_ds, cfg.data.get("val_loader", loader_cfg), test=True)
+        if is_pretrain or task == "retrieval":
+            eval_step = make_embed_eval_step(model)
+
+            def eval_fn(params):
+                return run_retrieval_eval(
+                    eval_step, params, val_ds, val_loader.epoch(0),
+                    out_size=img_size, dtype=compute_dtype)
+        else:
+            eval_step = make_qa_eval_step(model)
+
+            def eval_fn(params):
+                return run_qa_eval(
+                    eval_step, params, val_ds, val_loader.epoch(0),
+                    out_size=img_size, dtype=compute_dtype)
+
+    ckpt_mgr = CheckpointManager(
+        os.path.join(work_dir, "checkpoints"),
+        max_to_keep=cfg.get("checkpoint", {}).get("max_to_keep", 3))
+
+    trainer = Trainer(
+        state=state,
+        train_steps=train_steps,
+        train_loaders=loaders,
+        batch_to_device=batch_to_device,
+        rng=jax.random.PRNGKey(args.seed + 1),
+        total_epochs=cfg.total_epochs,
+        work_dir=work_dir,
+        log_interval=cfg.get("log_interval", 20),
+        eval_fn=eval_fn,
+        eval_interval=eval_cfg.get("interval", 1),
+        save_best_key=eval_cfg.get("save_best"),
+        ckpt_interval=cfg.get("checkpoint", {}).get("interval", 1),
+        ckpt_manager=ckpt_mgr,
+        ema_eval=ema_cfg.get("eval_with_ema", False),
+    )
+    if args.resume:
+        trainer.resume()
+    trainer.fit()
+    logger.info("training done at step %d", int(trainer.state.step))
+
+
+if __name__ == "__main__":
+    main()
