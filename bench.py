@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: MSRVTT-eval-shaped retrieval throughput on one TPU chip.
+
+Measures the north-star workload (BASELINE.md): dual-tower embedding
+extraction — fused on-device preprocessing from uint8 + Video Swin-B +
+BERT-base + NCE projection heads — at 8x224x224 frames, bf16, steady
+state. Prints ONE json line:
+
+  {"metric": ..., "value": clips/sec/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline divides by the locally measured eager-PyTorch CPU equivalent
+(bench/baseline_measured.json, produced by bench/baseline_torch.py) — the
+only PyTorch number measurable in this image; the reference repo publishes
+none and its CUDA stack cannot run here (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+    from clover_tpu.ops.preprocess import eval_preprocess
+
+    B = int(os.environ.get("BENCH_BATCH", 8))
+    T = int(os.environ.get("BENCH_FRAMES", 8))
+    ITERS = int(os.environ.get("BENCH_ITERS", 20))
+    S = 224
+
+    cfg = FinetuneConfig(
+        swin=SwinConfig.base(),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+        task="retrieval",
+    )
+    model = CloverFinetune(cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    frames_u8 = jnp.asarray(rng.integers(0, 256, size=(B, T, S, S, 3),
+                                         dtype=np.uint8))
+    token_ids = jnp.asarray(rng.integers(0, 30522, size=(B, 30)), jnp.int32)
+    input_mask = jnp.ones((B, 30), jnp.int32)
+
+    @jax.jit
+    def eval_fn(params, frames_u8, token_ids, input_mask):
+        imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.bfloat16)
+        return model.apply(params, imgs[:, None], token_ids, input_mask,
+                           method="forward_test")
+
+    init_imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda k: model.init(k, init_imgs[:, None], token_ids, input_mask,
+                             method="forward_test")
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    def run_once():
+        v, t = eval_fn(params, frames_u8, token_ids, input_mask)
+        # force completion: with async dispatch (and the axon relay),
+        # blocking only on the last call would under-count work
+        return np.asarray(v)
+
+    run_once()  # compile
+    run_once()  # warm (incl. host-transfer path)
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        out = run_once()
+    dt = time.time() - t0
+    assert np.all(np.isfinite(out.astype(np.float32)))
+    clips_per_sec = B * ITERS / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench", "baseline_measured.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = clips_per_sec / base["value"]
+
+    print(json.dumps({
+        "metric": "msrvtt_eval_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "batch": B,
+        "frames": T,
+        "iters": ITERS,
+        "seconds": round(dt, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

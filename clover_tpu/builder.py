@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from clover_tpu.config import Config
 from clover_tpu.data.datasets import (
+    MCRetrievalDataset,
     VideoQADataset,
     VideoTextDataset,
     make_synthetic_retrieval_dataset,
@@ -117,6 +118,8 @@ def build_dataset(ds_cfg: Dict[str, Any], tokenizer: Optional[BertTokenizer]):
         return VideoTextDataset(tokenizer=tokenizer, **cfg)
     if dtype_ == "VideoQADataset":
         return VideoQADataset(tokenizer=tokenizer, **cfg)
+    if dtype_ == "MCRetrievalDataset":
+        return MCRetrievalDataset(tokenizer=tokenizer, **cfg)
     raise ValueError(f"unknown dataset type {dtype_!r}")
 
 

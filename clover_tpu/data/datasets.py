@@ -297,6 +297,27 @@ class VideoQADataset:
         }
 
 
+class MCRetrievalDataset(VideoTextDataset):
+    """Multiple-choice-as-retrieval (MSRVTT-MC / LSMDC-MC).
+
+    Records: {filename, options (list[str]), answer_idx}. Test entries are
+    (video, option) pairs scored by the dual-tower retrieval model; the
+    metric is multiple_choice_retrieval_acc (reference acc_for_msrvtt_mc,
+    core/evaluation/accuracy.py:396-427, minus its debug dumps).
+    """
+
+    def __init__(self, records=None, ann_file=None, **kwargs):
+        if records is None:
+            records = load_annotations(ann_file)
+        records = [
+            {**rec, "text": list(rec["options"])} for rec in records
+        ]
+        kwargs.setdefault("test_mode", True)
+        super().__init__(records=records, **kwargs)
+        self.labels = np.asarray(
+            [rec.get("answer_idx", 0) for rec in self.records], np.int64)
+
+
 _SYNTH_WORDS = (
     "a the person dog cat runs jumps sits eats red blue fast slow ball "
     "park street man woman child plays walks big small happy"

@@ -81,6 +81,40 @@ def run_retrieval_eval(
     return retrieval_recall_varied(video_embd, t, dataset.text_video_ids)
 
 
+def run_mc_retrieval_eval(
+    eval_step: Callable,
+    params,
+    dataset,
+    loader_iter,
+    out_size: int = 224,
+    dtype=jnp.float32,
+) -> Dict[str, float]:
+    """Multiple-choice-as-retrieval: score candidates by tower similarity."""
+    from clover_tpu.evaluation.metrics import multiple_choice_retrieval_acc
+
+    v_list, t_list, idx_list, vid_list = [], [], [], []
+    for batch in loader_iter:
+        imgs = eval_preprocess(
+            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
+            out_size=out_size, dtype=dtype)
+        n_clips = batch["imgs"].shape[1]
+        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        v, t = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
+                         jnp.asarray(batch["input_mask"]))
+        v_list.append(np.asarray(v, np.float32))
+        t_list.append(np.asarray(t, np.float32))
+        idx_list.append(np.asarray(batch["index"]))
+        vid_list.append(np.asarray(batch["video_index"]))
+    v = np.concatenate(v_list)
+    t = np.concatenate(t_list)
+    idx = np.concatenate(idx_list)
+    vids = np.concatenate(vid_list)
+    v, t, vids = _dedup_sort(idx, v, t, vids)
+    _, first = np.unique(vids, return_index=True)
+    video_embd = v[np.sort(first)]
+    return multiple_choice_retrieval_acc(video_embd, t, dataset.labels)
+
+
 def run_qa_eval(
     eval_step: Callable,
     params,

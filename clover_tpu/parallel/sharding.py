@@ -1,0 +1,47 @@
+"""Parameter-sharding rules (FSDP-style) over a mesh axis.
+
+A new capability relative to the reference (which is DP-only, SURVEY.md
+§2.5): shard each large parameter along its largest axis divisible by the
+mesh axis size, replicate the rest. XLA/GSPMD inserts the all-gathers on
+use and reduce-scatters on gradients.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def fsdp_param_shardings(
+    params: Any,
+    mesh: Mesh,
+    axis: str = "fsdp",
+    min_size: int = 2 ** 16,
+) -> Any:
+    """Pytree of NamedShardings: big params sharded on ``axis``."""
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
+    def shard_one(leaf):
+        shape = np.shape(leaf)
+        if axis_size == 1 or np.prod(shape, dtype=np.int64) < min_size:
+            return NamedSharding(mesh, P())
+        # choose the largest dim divisible by axis_size
+        candidates = [
+            (dim_size, i) for i, dim_size in enumerate(shape)
+            if dim_size % axis_size == 0
+        ]
+        if not candidates:
+            return NamedSharding(mesh, P())
+        _, dim = max(candidates)
+        spec = [None] * len(shape)
+        spec[dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(shard_one, params)
+
+
+def replicate_shardings(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)

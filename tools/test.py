@@ -94,7 +94,14 @@ def main():
 
     is_retrieval = (cfg.model["type"] == "CloverPretrain"
                     or cfg.model.get("task") == "retrieval")
-    if is_retrieval:
+    if is_retrieval and cfg.model.get("eval_mode") == "mc_retrieval":
+        from clover_tpu.engine.eval_loop import run_mc_retrieval_eval
+
+        eval_step = make_embed_eval_step(model)
+        metrics = run_mc_retrieval_eval(eval_step, params, test_ds,
+                                        loader.epoch(0), out_size=img_size,
+                                        dtype=model.dtype)
+    elif is_retrieval:
         eval_step = make_embed_eval_step(model)
         metrics = run_retrieval_eval(eval_step, params, test_ds,
                                      loader.epoch(0), out_size=img_size,
