@@ -98,6 +98,15 @@ def build_model(model_cfg: Dict[str, Any]):
 def build_tokenizer(cfg: Optional[Dict[str, Any]]) -> BertTokenizer:
     cfg = dict(cfg or {})
     if cfg.get("vocab_file"):
+        if cfg.get("native", False):
+            from clover_tpu.data.wordpiece_native import (
+                NativeBertTokenizer,
+                native_available,
+            )
+
+            if native_available():
+                return NativeBertTokenizer(
+                    cfg["vocab_file"], lower_case=cfg.get("lower_case", True))
         return BertTokenizer.from_vocab_file(
             cfg["vocab_file"], lower_case=cfg.get("lower_case", True))
     if cfg.get("synthetic", False):

@@ -115,6 +115,39 @@ def run_mc_retrieval_eval(
     return multiple_choice_retrieval_acc(video_embd, t, dataset.labels)
 
 
+def run_zeroshot_action_eval(
+    eval_step: Callable,
+    params,
+    dataset,
+    loader_iter,
+    class_text_embd: np.ndarray,
+    out_size: int = 224,
+    dtype=jnp.float32,
+) -> Dict[str, float]:
+    """Zero-shot action recognition: video embeddings vs class-name text
+    embeddings (reference UCF101VideoDataset ->
+    recall_for_zeroshot_action_recognition, video_dataset.py:443-513)."""
+    from clover_tpu.evaluation.metrics import zeroshot_action_recognition_acc
+
+    v_list, lbl_list, idx_list = [], [], []
+    for batch in loader_iter:
+        imgs = eval_preprocess(
+            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
+            out_size=out_size, dtype=dtype)
+        n_clips = batch["imgs"].shape[1]
+        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        v, _ = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
+                         jnp.asarray(batch["input_mask"]))
+        v_list.append(np.asarray(v, np.float32))
+        lbl_list.append(np.asarray(batch["label"]))
+        idx_list.append(np.asarray(batch["index"]))
+    v = np.concatenate(v_list)
+    labels = np.concatenate(lbl_list)
+    idx = np.concatenate(idx_list)
+    v, labels = _dedup_sort(idx, v, labels)
+    return zeroshot_action_recognition_acc(v, class_text_embd, labels)
+
+
 def run_qa_eval(
     eval_step: Callable,
     params,

@@ -56,6 +56,7 @@ class SwinConfig:
     patch_norm: bool = True
     mask_token: bool = False
     use_checkpoint: bool = False
+    attention_impl: str = "xla"      # 'xla' | 'pallas' (fused VMEM kernel)
 
     @property
     def num_features(self) -> int:
@@ -171,6 +172,7 @@ class WindowAttention3D(nn.Module):
     qk_scale: Optional[float] = None
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    attention_impl: str = "xla"             # 'xla' | 'pallas'
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -196,21 +198,34 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, nH, hd)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-
         rp_index = relative_position_index(self.full_window, eff_window)
         bias = bias_table[rp_index.reshape(-1)].reshape(N, N, self.num_heads)
-        logits = logits + bias.transpose(2, 0, 1)[None].astype(logits.dtype)
+        bias = bias.transpose(2, 0, 1)                    # (nH, N, N) fp32
 
-        if attn_mask is not None:
-            nW = attn_mask.shape[0]
-            logits = logits.reshape(Bn // nW, nW, self.num_heads, N, N)
-            logits = logits + attn_mask[None, :, None].astype(logits.dtype)
-            logits = logits.reshape(Bn, self.num_heads, N, N)
+        if self.attention_impl == "pallas" and self.attn_drop == 0.0:
+            from clover_tpu.ops.window_attention import fused_window_attention
 
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        probs = nn.Dropout(self.attn_drop, deterministic=deterministic)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(Bn, N, C)
+            out = fused_window_attention(
+                q.transpose(0, 2, 1, 3),                  # (Bn, nH, N, hd)
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias,
+                None if attn_mask is None else attn_mask.astype(jnp.float32),
+                scale)
+            out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            logits = logits + bias[None].astype(logits.dtype)
+            if attn_mask is not None:
+                nW = attn_mask.shape[0]
+                logits = logits.reshape(Bn // nW, nW, self.num_heads, N, N)
+                logits = logits + attn_mask[None, :, None].astype(logits.dtype)
+                logits = logits.reshape(Bn, self.num_heads, N, N)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(self.dtype)
+            probs = nn.Dropout(self.attn_drop, deterministic=deterministic)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(Bn, N, C)
+
         out = dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
@@ -229,6 +244,7 @@ class SwinBlock3D(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    attention_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -258,7 +274,7 @@ class SwinBlock3D(nn.Module):
         attn_out = WindowAttention3D(
             self.dim, self.window_size, self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop, proj_drop=self.drop,
-            dtype=self.dtype, name="attn",
+            attention_impl=self.attention_impl, dtype=self.dtype, name="attn",
         )(x_windows, window, attn_mask, deterministic=deterministic)
         x = window_reverse(attn_out, window, B, Dp, Hp, Wp)
 
@@ -401,6 +417,7 @@ class SwinTransformer3D(nn.Module):
                     drop=cfg.drop_rate,
                     attn_drop=cfg.attn_drop_rate,
                     drop_path=dpr[block_idx],
+                    attention_impl=cfg.attention_impl,
                     dtype=self.dtype,
                     name=f"stage_{i_stage}_block_{i_blk}",
                 )(x, deterministic)

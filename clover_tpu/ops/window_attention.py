@@ -1,0 +1,147 @@
+"""Fused 3D shifted-window attention (Pallas TPU kernel).
+
+The hot op of the Swin backbone (SURVEY.md §7.3 #2). The XLA path
+materializes the (Bn, nH, N, N) logits tensor in HBM twice (write after
+QK^T+bias+mask, read for softmax·V) — at stage 1 of Swin-B that is
+hundreds of MB per step. This kernel keeps the whole
+QK^T -> +bias -> +shift-mask -> softmax -> ·V chain for one (window, head)
+in VMEM.
+
+Forward is a Pallas kernel; backward (custom VJP) recomputes with plain
+XLA einsums — still saving the forward HBM traffic and activation memory.
+A fully fused backward kernel is a later optimization.
+
+Layout: q, k, v (Bn, nH, N, hd); bias (nH, N, N) fp32; mask (nW, N, N)
+fp32 or None with Bn % nW == 0 (windows of one clip are contiguous).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)          # (N, hd)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)       # (N, N)
+    logits = logits + bias_ref[0]
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _attn_kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                        scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits = logits + bias_ref[0] + mask_ref[0]
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _interpret() -> bool:
+    # Mosaic only exists on TPU; interpret mode keeps CPU tests/goldens honest
+    return jax.default_backend() != "tpu"
+
+
+def _forward(q, k, v, bias, mask, scale):
+    Bn, nH, N, hd = q.shape
+    qkv_spec = pl.BlockSpec((1, 1, N, hd), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, N, hd), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * nH * N * N * hd,
+        bytes_accessed=(3 * Bn * nH * N * hd + Bn * nH * N * hd) * q.dtype.itemsize
+        + nH * N * N * 4,
+        transcendentals=Bn * nH * N * N,
+    )
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            grid=(Bn, nH),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(q, k, v, bias)
+    nW = mask.shape[0]
+    mask_spec = pl.BlockSpec((1, N, N), lambda b, h: (b % nW, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_masked, scale=scale),
+        grid=(Bn, nH),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(q, k, v, bias, mask)
+
+
+def _xla_probs(q, k, bias, mask, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                        k.astype(jnp.float32))
+    logits = logits + bias[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        Bn, nH, N, _ = logits.shape
+        logits = logits.reshape(Bn // nW, nW, nH, N, N) + mask[None, :, None]
+        logits = logits.reshape(Bn, nH, N, N)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_window_attention(q, k, v, bias, mask, scale):
+    """softmax(q·kᵀ·scale + bias (+mask)) · v, fused in VMEM.
+
+    q,k,v (Bn,nH,N,hd); bias (nH,N,N); mask (nW,N,N)|None. Returns
+    (Bn,nH,N,hd) in q.dtype.
+    """
+    return _forward(q, k, v, bias, mask, scale)
+
+
+def _fwd(q, k, v, bias, mask, scale):
+    return _forward(q, k, v, bias, mask, scale), (q, k, v, bias, mask)
+
+
+def _bwd(scale, residuals, g):
+    q, k, v, bias, mask = residuals
+    probs = _xla_probs(q, k, bias, mask, scale)          # (Bn,nH,N,N) f32
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g32)
+    dprobs = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
+    # softmax vjp: p * (dp - sum(dp * p))
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dlogits, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dlogits, q.astype(jnp.float32)) * scale
+    dbias = jnp.sum(dlogits, axis=0)
+    if mask is None:
+        dmask = None
+    else:
+        nW = mask.shape[0]
+        Bn, nH, N, _ = dlogits.shape
+        dmask = dlogits.reshape(Bn // nW, nW, nH, N, N).sum(axis=(0, 2))
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, dmask)
+
+
+fused_window_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,76 @@
+"""Pallas fused window attention: parity vs XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clover_tpu.models.swin3d import SwinConfig, SwinTransformer3D, WindowAttention3D
+from clover_tpu.ops.window_attention import fused_window_attention
+
+
+def _xla_reference(q, k, v, bias, mask, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    logits = logits + bias[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        Bn, nH, N, _ = logits.shape
+        logits = (logits.reshape(Bn // nW, nW, nH, N, N)
+                  + mask[None, :, None]).reshape(Bn, nH, N, N)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_kernel_matches_xla(rng, with_mask):
+    Bn, nH, N, hd = 8, 2, 12, 16   # Bn = 2 clips x 4 windows
+    q, k, v = (jnp.asarray(rng.normal(size=(Bn, nH, N, hd)).astype(np.float32))
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = None
+    if with_mask:
+        m = np.where(rng.random((4, N, N)) < 0.3, -100.0, 0.0)
+        mask = jnp.asarray(m.astype(np.float32))
+    scale = hd ** -0.5
+    out = fused_window_attention(q, k, v, bias, mask, scale)
+    ref = _xla_reference(q, k, v, bias, mask, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_kernel_gradients_match_xla(rng):
+    Bn, nH, N, hd = 4, 2, 8, 8
+    q, k, v = (jnp.asarray(rng.normal(size=(Bn, nH, N, hd)).astype(np.float32))
+               for _ in range(3))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.random((2, N, N)) < 0.3, -100.0, 0.0).astype(np.float32))
+    scale = hd ** -0.5
+
+    def loss_fused(q, k, v, bias, mask):
+        return jnp.sum(fused_window_attention(q, k, v, bias, mask, scale) ** 2)
+
+    def loss_ref(q, k, v, bias, mask):
+        return jnp.sum(_xla_reference(q, k, v, bias, mask, scale) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias, mask)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias, mask)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_swin_backbone_pallas_matches_xla(rng):
+    """Full backbone parity between attention_impl settings."""
+    import dataclasses
+
+    cfg_xla = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                         depths=(2,), num_heads=(2,), window_size=(2, 2, 2),
+                         drop_path_rate=0.0)
+    cfg_pl = dataclasses.replace(cfg_xla, attention_impl="pallas")
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32))
+    params = SwinTransformer3D(cfg_xla).init(jax.random.PRNGKey(0), x)["params"]
+    out_xla = SwinTransformer3D(cfg_xla).apply({"params": params}, x)
+    out_pl = SwinTransformer3D(cfg_pl).apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
+                               atol=2e-5, rtol=1e-4)

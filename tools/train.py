@@ -122,6 +122,29 @@ def main():
     params = model.init(rng, sample, train=False)["params"]
     logger.info("\n%s", param_table(params))
 
+    # weights-only warm start (reference load_from, tools/train.py:252-253):
+    # a checkpoint directory produced by this framework; tower subtrees that
+    # match by name are taken, the rest keep fresh init (e.g. a pretrain
+    # checkpoint warm-starting a finetune model without QA heads).
+    load_from = cfg.get("load_from")
+    if load_from:
+        from clover_tpu.engine.checkpoint import CheckpointManager
+
+        pretrained = CheckpointManager(load_from).restore_params(params)
+        if pretrained is None:
+            raise SystemExit(f"load_from: no checkpoint in {load_from}")
+        loaded, fresh = [], []
+        merged = dict(params)
+        for key in params:
+            if key in pretrained and jax.tree_util.tree_structure(
+                params[key]) == jax.tree_util.tree_structure(pretrained[key]):
+                merged[key] = pretrained[key]
+                loaded.append(key)
+            else:
+                fresh.append(key)
+        params = type(params)(merged) if not isinstance(params, dict) else merged
+        logger.info("load_from %s: loaded %s; fresh %s", load_from, loaded, fresh)
+
     # ----------------------------------------------------- optimizer
     opt_cfg = cfg.get("optimizer", {})
     sched_cfg = cfg.get("schedule", {})
