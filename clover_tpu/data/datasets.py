@@ -83,6 +83,7 @@ class VideoTextDataset:
         max_length: int = 30,
         test_mode: bool = False,
         test_num_frames: Optional[int] = None,
+        paragraph: bool = False,       # join list captions (DiDeMo temporal_cat)
         # pretrain extras
         mlm: bool = False,
         mask_engine: str = "content_word",
@@ -104,6 +105,7 @@ class VideoTextDataset:
         self.test_canonical_size = test_canonical_size
         self.max_length = max_length
         self.test_mode = test_mode
+        self.paragraph = paragraph
         self.mlm = mlm
         self.mask_fn = MASK_ENGINES[mask_engine]
         self.mlm_probability = mlm_probability
@@ -119,6 +121,8 @@ class VideoTextDataset:
             self.text_video_ids: List[List[int]] = []
             for vid, rec in enumerate(self.records):
                 texts = rec.get("text", "")
+                if self.paragraph and isinstance(texts, list):
+                    texts = " ".join(texts)   # DiDeMo paragraph retrieval
                 texts = [texts] if isinstance(texts, str) else list(texts)
                 ids = []
                 for text in texts:
@@ -161,6 +165,8 @@ class VideoTextDataset:
 
         rec = self.records[idx]
         texts = rec.get("text", "")
+        if self.paragraph and isinstance(texts, list):
+            texts = " ".join(texts)
         text = texts if isinstance(texts, str) else texts[rng.integers(len(texts))]
         frames = self._decode_clip(
             rec["filename"], self.num_frames, self.canonical_size, rng, test=False)
@@ -294,6 +300,34 @@ class VideoQADataset:
             "index": np.int32(idx),
             "crop_boxes": crop.astype(np.float32),
             "flip": np.bool_(False if self.test_mode else rng.random() < 0.5),
+        }
+
+
+class ActionVideoDataset(VideoTextDataset):
+    """Action recognition clips for zero-shot eval via class-name retrieval.
+
+    Records: {filename, label} with 1-indexed labels (reference
+    UCF101VideoDataset, video_dataset.py:443-513). Class-name embeddings
+    are produced separately (`encode_class_names`) and passed to
+    run_zeroshot_action_eval.
+    """
+
+    def __init__(self, records=None, ann_file=None, class_names=None, **kwargs):
+        if records is None:
+            records = load_annotations(ann_file)
+        records = [{**rec, "text": ""} for rec in records]
+        kwargs.setdefault("test_mode", True)
+        super().__init__(records=records, **kwargs)
+        self.class_names = list(class_names or [])
+
+    def encode_class_names(self, template: str = "a video of {}"):
+        encs = [
+            self.tokenizer.encode(template.format(name), self.max_length)
+            for name in self.class_names
+        ]
+        return {
+            "token_ids": np.stack([e["token_ids"] for e in encs]),
+            "input_mask": np.stack([e["input_mask"] for e in encs]),
         }
 
 

@@ -57,6 +57,35 @@ class ShardedSampler:
         return order[self.rank::self.world_size]
 
 
+class ClassBalancedSampler(ShardedSampler):
+    """Samples indices by per-class probability (reference
+    ClassSpecificDistributedSampler, samplers/distributed_sampler.py:47-134).
+
+    ``class_probs``: {class_id: sampling weight}; classes absent default 1.
+    Each epoch draws len(labels) indices with replacement proportionally.
+    """
+
+    def __init__(self, labels: Sequence[int], class_probs: Dict[int, float],
+                 **kwargs):
+        super().__init__(len(labels), **kwargs)
+        labels = np.asarray(labels)
+        weights = np.asarray([class_probs.get(int(c), 1.0) for c in labels],
+                             dtype=np.float64)
+        self._probs = weights / weights.sum()
+
+    def indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + epoch)
+        order = rng.choice(self.n, size=self.n, replace=True, p=self._probs)
+        chunk = self.world_size * self.batch_size
+        if self.drop_last:
+            order = order[: (len(order) // chunk) * chunk]
+        else:
+            pad = (-len(order)) % chunk
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+        return order[self.rank::self.world_size]
+
+
 def default_collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for key in samples[0]:

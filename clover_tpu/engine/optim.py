@@ -79,6 +79,37 @@ def cosine_warmup_schedule(
     return optax.join_schedules(schedules, boundaries)
 
 
+def linear_annealing_schedule(
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: int = 0,
+    warmup_start_ratio: float = 0.001,
+    min_lr_ratio: float = 0.0,
+) -> optax.Schedule:
+    """Linear decay to base_lr*min_lr_ratio (reference
+    LinearAnnealingLrUpdaterHook, core/lr/linear_annealing.py:4)."""
+    schedules, boundaries = [], []
+    if warmup_steps > 0:
+        schedules.append(optax.linear_schedule(
+            base_lr * warmup_start_ratio, base_lr, warmup_steps))
+        boundaries.append(warmup_steps)
+    schedules.append(optax.linear_schedule(
+        base_lr, base_lr * min_lr_ratio, max(1, total_steps - warmup_steps)))
+    return schedules[0] if len(schedules) == 1 else optax.join_schedules(
+        schedules, boundaries)
+
+
+def step_schedule(base_lr: float, boundaries_and_scales) -> optax.Schedule:
+    """mmcv StepLrUpdater equivalent: piecewise-constant decay."""
+    return optax.piecewise_constant_schedule(base_lr, dict(boundaries_and_scales))
+
+
+SCHEDULES = {
+    "cosine": cosine_warmup_schedule,
+    "linear": linear_annealing_schedule,
+}
+
+
 def make_optimizer(
     params,
     base_lr: float,
@@ -91,6 +122,7 @@ def make_optimizer(
     warmup_start_ratio: float = 0.001,
     min_lr_ratio: float = 0.0,
     freeze_mask=None,
+    policy: str = "cosine",
 ) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     """Build the full optax chain; returns (optimizer, lr_schedule).
 
@@ -98,7 +130,7 @@ def make_optimizer(
     leaves get zero updates (reference _freeze by name prefix,
     recognizers/base.py:138-163).
     """
-    schedule = cosine_warmup_schedule(
+    schedule = SCHEDULES[policy](
         base_lr, total_steps, warmup_steps, warmup_start_ratio, min_lr_ratio)
     chain = []
     if grad_clip_norm is not None:

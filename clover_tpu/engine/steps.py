@@ -28,8 +28,29 @@ from clover_tpu.losses.objectives import (
 )
 
 
+def ema_momentum_schedule(kind: str = "constant", base: float = 0.9998,
+                          ramp_steps: int = 2000):
+    """EMA momentum schedules (reference ExpMomentumEMAHook /
+    LinearMomentumEMAHook, core/hooks/ema.py:8-126): warm the decay up so
+    early EMA tracks the fast-moving params."""
+
+    def fn(step):
+        step = step.astype(jnp.float32)
+        if kind == "constant":
+            return jnp.float32(base)
+        if kind == "exp":
+            return 1.0 - (1.0 - base) * (jnp.exp(-step / ramp_steps) + 1.0)
+        if kind == "linear":
+            return jnp.minimum(base, (1.0 + step) / (ramp_steps + step))
+        raise ValueError(kind)
+
+    return fn
+
+
 def _finalize(state: TrainState, grads, losses, ema_momentum):
     tot = total_loss(losses)
+    if callable(ema_momentum):
+        ema_momentum = ema_momentum(state.step)
     new_state = state.apply_gradients(grads, ema_momentum=ema_momentum)
     metrics = dict(losses)
     metrics["loss"] = tot

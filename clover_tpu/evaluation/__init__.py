@@ -1,6 +1,8 @@
 from clover_tpu.evaluation.metrics import (  # noqa: F401
     l2_normalize,
+    mean_average_precision,
     mean_class_accuracy,
+    precision_recall_at_threshold,
     multiple_choice_retrieval_acc,
     qa_accuracy,
     retrieval_recall,

@@ -144,6 +144,41 @@ def top_k_accuracy(
     return res
 
 
+def mean_average_precision(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Multi-label mAP: mean over classes of average precision
+    (reference accuracy.py classification family).
+
+    scores (N, C) real-valued; labels (N, C) binary ground truth.
+    Classes with no positives are skipped.
+    """
+    scores = np.asarray(scores)
+    labels = np.asarray(labels)
+    aps = []
+    for c in range(scores.shape[1]):
+        gt = labels[:, c]
+        if gt.sum() == 0:
+            continue
+        order = np.argsort(-scores[:, c])
+        gt_sorted = gt[order]
+        cum_pos = np.cumsum(gt_sorted)
+        precision = cum_pos / (np.arange(len(gt_sorted)) + 1)
+        aps.append(float(np.sum(precision * gt_sorted) / gt.sum()))
+    return float(np.mean(aps)) if aps else float("nan")
+
+
+def precision_recall_at_threshold(
+    scores: np.ndarray, labels: np.ndarray, threshold: float = 0.5
+) -> Dict[str, float]:
+    """Micro precision/recall of multi-label predictions at a score cut."""
+    pred = np.asarray(scores) >= threshold
+    labels = np.asarray(labels).astype(bool)
+    tp = np.logical_and(pred, labels).sum()
+    return {
+        "precision": float(tp / max(pred.sum(), 1)),
+        "recall": float(tp / max(labels.sum(), 1)),
+    }
+
+
 def mean_class_accuracy(scores: Sequence[np.ndarray], labels: Sequence[int]) -> float:
     """Mean of per-class recalls."""
     pred = np.argmax(np.asarray(scores), axis=1)

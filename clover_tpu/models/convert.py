@@ -117,6 +117,33 @@ def convert_fusion_from_hf(sd: Mapping[str, Array], num_layers: int = 3,
 # --------------------------------------------------------------------- Swin
 
 
+def inflate_swin2d(sd: Mapping[str, Array], temporal_patch: int,
+                   temporal_window: int) -> Dict[str, np.ndarray]:
+    """Inflate an *image* Swin checkpoint to the 3D layout, then convert.
+
+    Reference inflate_weights (swin_transformer_3d.py:130-181):
+    - patch-embed conv (Co,Ci,ph,pw) -> center-repeat over pd and / pd;
+    - relative_position_bias_table ((2wh-1)(2ww-1), nH) tiled (2wd-1)x
+      along rows (with optional bicubic resize on spatial mismatch, which
+      we require to already match);
+    - relative_position_index / attn_mask dropped (recomputed here).
+    Returns a 3D-layout torch-style state dict for convert_swin3d.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        val = np.asarray(val)
+        if "relative_position_index" in key or "attn_mask" in key:
+            continue
+        if key == "patch_embed.proj.weight":
+            # (Co, Ci, ph, pw) -> (Co, Ci, pd, ph, pw) / pd
+            val = np.repeat(val[:, :, None], temporal_patch, axis=2)
+            val = val / temporal_patch
+        elif "relative_position_bias_table" in key:
+            val = np.tile(val, (2 * temporal_window - 1, 1))
+        out[key] = val
+    return out
+
+
 def convert_swin3d(sd: Mapping[str, Array], depths, patch_equals_stride: bool = True,
                    prefix: str = "backbone.") -> Dict:
     """Video-Swin torch state dict -> SwinTransformer3D params.

@@ -115,3 +115,52 @@ def eval_preprocess(frames_u8: jax.Array, out_size: int = 224,
         jnp.asarray(center_crop_params(S, min(S, out_size))), (B, 4))
     flips = jnp.zeros((B,), dtype=bool)
     return preprocess_clips(frames_u8, boxes, flips, out_size=out_size, dtype=dtype)
+
+
+def three_crop_preprocess(frames_u8: jax.Array, out_size: int = 224,
+                          dtype: Any = jnp.bfloat16) -> jax.Array:
+    """ThreeCrop multi-view eval (reference augmentations ThreeCrop :1814):
+    left/top, center, right/bottom crops of the canonical square; returns
+    (B*3, T, out, out, 3). Scores are clip-mean pooled downstream (the
+    model's multi-clip path)."""
+    B = frames_u8.shape[0]
+    S = frames_u8.shape[2]
+    crop = min(S, out_size)
+    off = float(S - crop)
+    positions = np.asarray(
+        [[0.0, 0.0, crop, crop],
+         [off / 2.0, off / 2.0, crop, crop],
+         [off, off, crop, crop]], np.float32)
+    boxes = jnp.asarray(np.tile(positions, (B, 1)))          # (B*3, 4)
+    frames3 = jnp.repeat(frames_u8, 3, axis=0)
+    flips = jnp.zeros((B * 3,), dtype=bool)
+    return preprocess_clips(frames3, boxes, flips, out_size=out_size, dtype=dtype)
+
+
+def color_jitter_params(rng: np.random.Generator, brightness: float = 0.4,
+                        contrast: float = 0.4, saturation: float = 0.4) -> np.ndarray:
+    """Per-sample (brightness, contrast, saturation) multipliers."""
+    return np.asarray([
+        rng.uniform(max(0, 1 - brightness), 1 + brightness),
+        rng.uniform(max(0, 1 - contrast), 1 + contrast),
+        rng.uniform(max(0, 1 - saturation), 1 + saturation),
+    ], np.float32)
+
+
+@jax.jit
+def apply_color_jitter(frames: jax.Array, factors: jax.Array) -> jax.Array:
+    """Device-side brightness/contrast/saturation on float RGB frames.
+
+    frames (B, T, H, W, 3) in pixel scale (pre-normalization);
+    factors (B, 3). The reference applies ColorJitter on host per frame
+    (augmentations.py); here it is one fused VPU op.
+    """
+    b = factors[:, 0][:, None, None, None, None]
+    c = factors[:, 1][:, None, None, None, None]
+    s = factors[:, 2][:, None, None, None, None]
+    x = frames * b
+    mean = jnp.mean(x, axis=(2, 3, 4), keepdims=True)
+    x = (x - mean) * c + mean
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    x = (x - gray) * s + gray
+    return jnp.clip(x, 0.0, 255.0)

@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument("--ckpt-dir", default=None,
                    help="checkpoint directory (omit for random init)")
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--all-steps", action="store_true",
+                   help="sweep every checkpoint in --ckpt-dir (reference "
+                        "inference_pytorch_multi_checkpoints)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
@@ -83,6 +86,37 @@ def main():
     params = model.init(jax.random.PRNGKey(0), *init_args,
                         method="forward_test")["params"]
 
+    is_retrieval = (cfg.model["type"] == "CloverPretrain"
+                    or cfg.model.get("task") == "retrieval")
+
+    def run_eval(params):
+        if is_retrieval and cfg.model.get("eval_mode") == "mc_retrieval":
+            from clover_tpu.engine.eval_loop import run_mc_retrieval_eval
+
+            eval_step = make_embed_eval_step(model)
+            return run_mc_retrieval_eval(eval_step, params, test_ds,
+                                         loader.epoch(0), out_size=img_size,
+                                         dtype=model.dtype)
+        if is_retrieval:
+            eval_step = make_embed_eval_step(model)
+            return run_retrieval_eval(eval_step, params, test_ds,
+                                      loader.epoch(0), out_size=img_size,
+                                      dtype=model.dtype)
+        eval_step = make_qa_eval_step(model)
+        return run_qa_eval(eval_step, params, test_ds, loader.epoch(0),
+                           out_size=img_size, dtype=model.dtype)
+
+    if args.ckpt_dir and args.all_steps:
+        # checkpoint-directory sweep (reference tools/test.py:169-224)
+        mgr = CheckpointManager(args.ckpt_dir)
+        steps = mgr.all_steps()
+        if not steps:
+            raise SystemExit(f"no checkpoints found in {args.ckpt_dir}")
+        for step in steps:
+            metrics = run_eval(mgr.restore_params(params, step=step))
+            print(json.dumps({"step": step, **metrics}))
+        return
+
     if args.ckpt_dir:
         mgr = CheckpointManager(args.ckpt_dir)
         restored = mgr.restore_params(params, step=args.step)
@@ -91,26 +125,7 @@ def main():
         params = restored
         logger.info("restored params from %s step %s", args.ckpt_dir,
                     args.step or mgr.latest_step())
-
-    is_retrieval = (cfg.model["type"] == "CloverPretrain"
-                    or cfg.model.get("task") == "retrieval")
-    if is_retrieval and cfg.model.get("eval_mode") == "mc_retrieval":
-        from clover_tpu.engine.eval_loop import run_mc_retrieval_eval
-
-        eval_step = make_embed_eval_step(model)
-        metrics = run_mc_retrieval_eval(eval_step, params, test_ds,
-                                        loader.epoch(0), out_size=img_size,
-                                        dtype=model.dtype)
-    elif is_retrieval:
-        eval_step = make_embed_eval_step(model)
-        metrics = run_retrieval_eval(eval_step, params, test_ds,
-                                     loader.epoch(0), out_size=img_size,
-                                     dtype=model.dtype)
-    else:
-        eval_step = make_qa_eval_step(model)
-        metrics = run_qa_eval(eval_step, params, test_ds, loader.epoch(0),
-                              out_size=img_size, dtype=model.dtype)
-    print(json.dumps(metrics))
+    print(json.dumps(run_eval(params)))
 
 
 if __name__ == "__main__":
