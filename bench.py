@@ -26,7 +26,95 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def bench_train():
+    """Pretrain training-step throughput (clips/sec, fwd+bwd+AdamW)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.engine import TrainState, make_optimizer
+    from clover_tpu.engine.steps import make_pretrain_train_step
+    from clover_tpu.models import (
+        BertConfig,
+        CloverPretrain,
+        FusionConfig,
+        PretrainConfig,
+        SwinConfig,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", 8))
+    T = int(os.environ.get("BENCH_FRAMES", 8))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    ATTN = os.environ.get("BENCH_ATTN", "xla")
+    S, L = 224, 30
+
+    cfg = PretrainConfig(
+        swin=SwinConfig.base(mask_token=True, attention_impl=ATTN,
+                             use_checkpoint=True),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+    )
+    model = CloverPretrain(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    token_ids = rng.integers(1000, 30000, size=(ITERS, B, L)).astype(np.int32)
+    mlm_label = np.full((ITERS, B, L), -100, np.int32)
+    mlm_label[:, :, 3] = token_ids[:, :, 3]
+    token_ids[:, :, 3] = 103
+    batches = {
+        "imgs": jnp.asarray(rng.normal(size=(ITERS, B, T, S, S, 3))
+                            .astype(np.float32) * 0.5),
+        "token_ids": jnp.asarray(token_ids),
+        "input_mask": jnp.ones((ITERS, B, L), jnp.int32),
+        "mlm_label": jnp.asarray(mlm_label),
+        "v_token_mask": jnp.asarray(
+            rng.integers(0, 2, (ITERS, B, 7, 7)).astype(np.int32)),
+    }
+    first = {k: v[0] for k, v in batches.items()}
+    params = jax.jit(lambda k, b: model.init(k, b, train=False)["params"])(
+        jax.random.PRNGKey(0), first)
+    jax.block_until_ready(params)
+    tx, _ = make_optimizer(params, base_lr=5e-5, total_steps=1000,
+                           warmup_steps=10, grad_clip_norm=15.0)
+    state = TrainState.create(params, tx)
+    step = make_pretrain_train_step(model, jit=False)
+
+    @jax.jit
+    def run_all(state, batches, key):
+        def body(state, batch):
+            state, metrics = step(state, batch, key)
+            return state, metrics["loss"]
+
+        return jax.lax.scan(body, state, batches)
+
+    key = jax.random.PRNGKey(1)
+    state, losses = run_all(state, batches, key)  # compile + warm
+    # host transfer forces completion (block_until_ready is unreliable
+    # through the axon relay — measured as a no-op)
+    np.asarray(losses)
+    t0 = time.time()
+    state, losses = run_all(state, batches, key)
+    losses = np.asarray(losses)
+    dt = time.time() - t0
+    assert np.all(np.isfinite(losses))
+    print(json.dumps({
+        "metric": "pretrain_train_clips_per_sec_per_chip",
+        "value": round(B * ITERS / dt, 3),
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "batch": B,
+        "frames": T,
+        "iters": ITERS,
+        "seconds": round(dt, 3),
+        "attention_impl": ATTN,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "eval") == "train":
+        bench_train()
+        return
     import jax
     import jax.numpy as jnp
 
@@ -42,7 +130,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 16))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
-    ATTN = os.environ.get("BENCH_ATTN", "pallas")
+    ATTN = os.environ.get("BENCH_ATTN", "xla")
     S = 224
 
     cfg = FinetuneConfig(

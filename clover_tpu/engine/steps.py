@@ -62,6 +62,7 @@ def make_pretrain_train_step(
     model,
     loss_cfg: PretrainLossConfig = PretrainLossConfig(),
     ema_momentum: Optional[float] = None,
+    jit: bool = True,
 ) -> Callable:
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -75,7 +76,7 @@ def make_pretrain_train_step(
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return _finalize(state, grads, losses, ema_momentum)
 
-    return jax.jit(step, donate_argnums=0)
+    return jax.jit(step, donate_argnums=0) if jit else step
 
 
 def make_retrieval_train_step(
@@ -83,6 +84,7 @@ def make_retrieval_train_step(
     temperature: float = 0.05,
     cos_sim: bool = True,
     ema_momentum: Optional[float] = None,
+    jit: bool = True,
 ) -> Callable:
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -96,12 +98,13 @@ def make_retrieval_train_step(
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return _finalize(state, grads, losses, ema_momentum)
 
-    return jax.jit(step, donate_argnums=0)
+    return jax.jit(step, donate_argnums=0) if jit else step
 
 
 def make_qa_train_step(
     model,
     ema_momentum: Optional[float] = None,
+    jit: bool = True,
 ) -> Callable:
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -115,7 +118,7 @@ def make_qa_train_step(
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return _finalize(state, grads, losses, ema_momentum)
 
-    return jax.jit(step, donate_argnums=0)
+    return jax.jit(step, donate_argnums=0) if jit else step
 
 
 def make_embed_eval_step(model) -> Callable:

@@ -58,6 +58,99 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pick_window_block(Bn: int, nH: int, N: int, hd: int, itemsize: int,
+                       nW: Optional[int], budget: int = 4 * 2 ** 20) -> int:
+    """Largest per-program window count fitting the VMEM budget.
+
+    Per program: qkv blocks (3*W*nH*N*hd*itemsize), bias (nH*N*N*4),
+    mask (W*N*N*4), logits+probs scratch (~2*N*N*4 live per head step).
+    Must divide Bn; with a mask must also divide nW. The budget is set
+    well under the 16 MB VMEM because Mosaic double-buffers grid blocks
+    (empirically: 10 MB estimates OOM the compiler, 4 MB is safe).
+    """
+    for w in (16, 8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        need = (3 * w * nH * N * hd * itemsize + nH * N * N * 4
+                + (w * N * N * 4 if nW is not None else 0) + 2 * N * N * 4
+                + w * nH * N * hd * itemsize)
+        if need <= budget:
+            return w
+    return 1
+
+
+def _attn_kernel_v2(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, nH):
+    """All heads of a W-window block per program; batched MXU dots."""
+    for h in range(nH):
+        q = q_ref[:, h].astype(jnp.float32)       # (W, N, hd)
+        k = k_ref[:, h].astype(jnp.float32)
+        v = v_ref[:, h].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)    # (W, N, N)
+        logits = logits + bias_ref[h][None]
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, h] = out.astype(out_ref.dtype)
+
+
+def _attn_kernel_v2_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
+                           scale, nH):
+    for h in range(nH):
+        q = q_ref[:, h].astype(jnp.float32)
+        k = k_ref[:, h].astype(jnp.float32)
+        v = v_ref[:, h].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q * scale, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h][None] + mask_ref[:]
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, h] = out.astype(out_ref.dtype)
+
+
+def _forward_v2(q, k, v, bias, mask, scale):
+    Bn, nH, N, hd = q.shape
+    nW = None if mask is None else mask.shape[0]
+    W = _pick_window_block(Bn, nH, N, hd, q.dtype.itemsize, nW)
+    qkv_spec = pl.BlockSpec((W, nH, N, hd), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nH, N, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * nH * N * N * hd,
+        bytes_accessed=4 * Bn * nH * N * hd * q.dtype.itemsize + nH * N * N * 4,
+        transcendentals=Bn * nH * N * N,
+    )
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_v2, scale=scale, nH=nH),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=qkv_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(q, k, v, bias)
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: ((i * W) % nW, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_v2_masked, scale=scale, nH=nH),
+        grid=(Bn // W,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(q, k, v, bias, mask)
+
+
 def _forward(q, k, v, bias, mask, scale):
     Bn, nH, N, hd = q.shape
     qkv_spec = pl.BlockSpec((1, 1, N, hd), lambda b, h: (b, h, 0, 0),
@@ -108,6 +201,17 @@ def _xla_probs(q, k, bias, mask, scale):
     return jax.nn.softmax(logits, axis=-1)
 
 
+import os
+
+_KERNEL_VERSION = os.environ.get("CLOVER_WA_KERNEL", "v2")
+
+
+def _dispatch(q, k, v, bias, mask, scale):
+    if _KERNEL_VERSION == "v1":
+        return _forward(q, k, v, bias, mask, scale)
+    return _forward_v2(q, k, v, bias, mask, scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_window_attention(q, k, v, bias, mask, scale):
     """softmax(q·kᵀ·scale + bias (+mask)) · v, fused in VMEM.
@@ -115,11 +219,11 @@ def fused_window_attention(q, k, v, bias, mask, scale):
     q,k,v (Bn,nH,N,hd); bias (nH,N,N); mask (nW,N,N)|None. Returns
     (Bn,nH,N,hd) in q.dtype.
     """
-    return _forward(q, k, v, bias, mask, scale)
+    return _dispatch(q, k, v, bias, mask, scale)
 
 
 def _fwd(q, k, v, bias, mask, scale):
-    return _forward(q, k, v, bias, mask, scale), (q, k, v, bias, mask)
+    return _dispatch(q, k, v, bias, mask, scale), (q, k, v, bias, mask)
 
 
 def _bwd(scale, residuals, g):

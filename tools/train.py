@@ -74,8 +74,16 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(os.path.join(work_dir, "config.json"))
 
-    mesh = make_mesh()
-    logger.info("devices: %s (mesh axes %s)", len(jax.devices()),
+    # data axis must divide the global batch; use the largest divisor of
+    # batch_size that the device count allows
+    batch_size = cfg.data.get("train_loader", {}).get("batch_size", 8)
+    n_dev = len(jax.devices())
+    data_axis = n_dev
+    while batch_size % data_axis:
+        data_axis -= 1
+    mesh = make_mesh(axis_sizes=(data_axis,),
+                     devices=jax.devices()[:data_axis])
+    logger.info("devices: %s, mesh axes %s", n_dev,
                 dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     # ------------------------------------------------------------- data
@@ -88,7 +96,23 @@ def main():
     if tokenizer is None:
         tokenizer = datasets[0].tokenizer
     loader_cfg = cfg.data.get("train_loader", {"batch_size": 8, "num_workers": 4})
-    loaders = [build_loader(ds, loader_cfg, seed=args.seed) for ds in datasets]
+    # multihost: each process loads its shard of every batch; pjit stitches
+    # the global batch across hosts (reference: one DistributedSampler per
+    # rank, tools/train.py + samplers/distributed_sampler.py)
+    rank, world = jax.process_index(), jax.process_count()
+    loaders = [
+        build_loader(ds, loader_cfg, seed=args.seed)
+        for ds in datasets
+    ]
+    if world > 1:
+        from clover_tpu.data.loader import DataLoader as _DL
+
+        loaders = [
+            _DL(ds, batch_size=loader_cfg.get("batch_size", 8) // world,
+                shuffle=True, num_workers=loader_cfg.get("num_workers", 4),
+                rank=rank, world_size=world, seed=args.seed)
+            for ds in datasets
+        ]
 
     # ------------------------------------------------------------- model
     model, model_cfg = build_model(cfg.model)
