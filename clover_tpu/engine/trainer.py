@@ -15,6 +15,7 @@ An explicit loop replacing the reference's runner+hook bus (SURVEY.md
 from __future__ import annotations
 
 import itertools
+import signal
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -94,7 +95,27 @@ class Trainer:
             return self.state.ema_params
         return self.state.params
 
+    def _install_preemption_handler(self):
+        """Save a checkpoint on SIGTERM/SIGINT before exiting (preemption
+        safety — the reference has no recovery story beyond resume,
+        SURVEY.md §5.3)."""
+        if self.ckpt is None:
+            return
+
+        def handler(signum, _frame):
+            self.metrics.log({"preempted_signal": signum,
+                              "step": int(self.state.step)})
+            self.ckpt.save(self.state, meta={"preempted": True})
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # not in main thread
+
     def fit(self):
+        self._install_preemption_handler()
         window: List[Dict[str, float]] = []
         t_last = time.time()
         for epoch in range(self.start_epoch, self.total_epochs):

@@ -74,7 +74,8 @@ def _pick_window_block(Bn: int, nH: int, N: int, hd: int, itemsize: int,
         if nW is not None and (w > nW or nW % w):
             continue
         need = (3 * w * nH * N * hd * itemsize + nH * N * N * 4
-                + (w * N * N * 4 if nW is not None else 0) + 2 * N * N * 4
+                + (w * N * N * 4 if nW is not None else 0)
+                + 2 * w * N * N * 4          # logits + probs live per head step
                 + w * nH * N * hd * itemsize)
         if need <= budget:
             return w
