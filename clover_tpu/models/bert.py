@@ -17,6 +17,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from clover_tpu.models.layers import dense, layer_norm
 
@@ -110,8 +111,9 @@ class BertSelfAttention(nn.Module):
         k = split_heads(dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="key")(x))
         v = split_heads(dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="value")(x))
 
-        scale = 1.0 / jnp.sqrt(head_dim).astype(self.dtype)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        scale = 1.0 / float(np.sqrt(head_dim))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(
+            scale, self.dtype)
         if attn_bias is not None:
             logits = logits + attn_bias.astype(logits.dtype)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)

@@ -214,6 +214,10 @@ class WindowAttention3D(nn.Module):
                 scale)
             out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
         else:
+            # NOTE: logits stay in compute dtype (bf16); producing fp32
+            # logits off the MXU was measured SLOWER (176 vs 291 clips/s) —
+            # the doubled HBM traffic of the (Bn,nH,N,N) tensor outweighs
+            # the convert-to-fp32 pass before softmax.
             logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
             logits = logits + bias[None].astype(logits.dtype)
             if attn_mask is not None:

@@ -106,11 +106,24 @@ def preprocess_clips(
     return out.astype(dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def _normalize_only(frames_u8: jax.Array, dtype: Any) -> jax.Array:
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return ((frames_u8.astype(jnp.float32) - mean) / std).astype(dtype)
+
+
 def eval_preprocess(frames_u8: jax.Array, out_size: int = 224,
                     dtype: Any = jnp.bfloat16) -> jax.Array:
-    """Center-crop eval path: canonical square in, normalized out."""
+    """Center-crop eval path: canonical square in, normalized out.
+
+    When the canonical size already equals out_size the crop is the
+    identity; skip scale_and_translate entirely (it lowers to a
+    convolution — measured ~8% of eval step time)."""
     B = frames_u8.shape[0]
     S = frames_u8.shape[2]
+    if S == out_size:
+        return _normalize_only(frames_u8, dtype)
     boxes = jnp.broadcast_to(
         jnp.asarray(center_crop_params(S, min(S, out_size))), (B, 4))
     flips = jnp.zeros((B,), dtype=bool)

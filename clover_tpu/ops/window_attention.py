@@ -79,7 +79,7 @@ def _pick_window_block(Bn: int, nH: int, N: int, hd: int, itemsize: int,
                 + w * nH * N * hd * itemsize)
         if need <= budget:
             return w
-    return 1
+    return 0  # infeasible even at w=1 (e.g. the bias table alone is too big)
 
 
 def _attn_kernel_v2(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, nH):
@@ -116,10 +116,20 @@ def _attn_kernel_v2_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
         out_ref[:, h] = out.astype(out_ref.dtype)
 
 
+def _xla_attention(q, k, v, bias, mask, scale):
+    probs = _xla_probs(q, k, bias, mask, scale)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
 def _forward_v2(q, k, v, bias, mask, scale):
     Bn, nH, N, hd = q.shape
     nW = None if mask is None else mask.shape[0]
     W = _pick_window_block(Bn, nH, N, hd, q.dtype.itemsize, nW)
+    if W == 0:
+        # shapes whose per-head working set exceeds VMEM (long-context
+        # windows); a flash-style key-tiled kernel is the follow-up
+        return _xla_attention(q, k, v, bias, mask, scale)
     qkv_spec = pl.BlockSpec((W, nH, N, hd), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nH, N, N), lambda i: (0, 0, 0),
