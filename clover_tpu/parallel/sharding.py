@@ -45,3 +45,35 @@ def fsdp_param_shardings(
 
 def replicate_shardings(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+# Megatron-style tensor-parallel rules for the transformer towers (a new
+# capability; the reference is DP-only). Column-parallel: qkv/query/key/
+# value/intermediate kernels split on the OUTPUT dim; row-parallel:
+# attention-output / MLP-output kernels split on the INPUT dim. GSPMD
+# inserts the reduce at the row-parallel matmul automatically.
+_TP_COLUMN = ("query", "key", "value", "qkv", "intermediate", "fc1")
+_TP_ROW = ("attention_output", "output", "proj", "fc2")
+
+
+def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "model") -> Any:
+    """NamedShardings splitting attention heads / MLP hidden over ``axis``."""
+    axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
+    def decide(path, leaf):
+        if axis_size == 1:
+            return NamedSharding(mesh, P())
+        keys = [getattr(p, "key", str(p)) for p in path]
+        shape = np.shape(leaf)
+        parent = keys[-2] if len(keys) >= 2 else ""
+        name = keys[-1]
+        if name == "kernel" and len(shape) == 2:
+            if parent in _TP_COLUMN and shape[1] % axis_size == 0:
+                return NamedSharding(mesh, P(None, axis))
+            if parent in _TP_ROW and shape[0] % axis_size == 0:
+                return NamedSharding(mesh, P(axis, None))
+        if name == "bias" and parent in _TP_COLUMN and shape[0] % axis_size == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(decide, params)
