@@ -184,14 +184,37 @@ class WindowAttention3D(nn.Module):
         *,
         deterministic: bool = True,
     ) -> jax.Array:
-        Bn, N, C = x.shape
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
+        N = int(np.prod(eff_window))
 
         table_len = int(np.prod([2 * w - 1 for w in self.full_window]))
         bias_table = self.param(
             "relative_position_bias_table", trunc_normal_init,
             (table_len, self.num_heads), jnp.float32)
+
+        if x.ndim == 5:
+            # fused spatial path (attention_impl='pallas_fused'): windows
+            # are sliced by the kernel's BlockSpecs straight out of the
+            # (B, Dp, Hp, Wp, C) layout — no partition/reverse transposes.
+            from clover_tpu.ops.window_attention import spatial_window_attention
+
+            B5, Dp, Hp, Wp, C5 = x.shape
+            rp_index = relative_position_index(self.full_window, eff_window)
+            bias = bias_table[rp_index.reshape(-1)].reshape(
+                N, N, self.num_heads).transpose(2, 0, 1)
+            qkv5 = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="qkv")(x)
+            qkv5 = qkv5.reshape(B5, Dp, Hp, Wp, 3, self.num_heads, head_dim)
+            out = spatial_window_attention(
+                qkv5, bias,
+                None if attn_mask is None else attn_mask.astype(jnp.float32),
+                tuple(eff_window), scale)
+            out = out.reshape(B5, Dp, Hp, Wp, C5)
+            out = dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+
+        Bn, N, C = x.shape
 
         qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                     name="qkv")(x)
@@ -274,13 +297,23 @@ class SwinBlock3D(nn.Module):
         else:
             attn_mask = None
 
-        x_windows = window_partition(x, window)
-        attn_out = WindowAttention3D(
+        attn_module = WindowAttention3D(
             self.dim, self.window_size, self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop, proj_drop=self.drop,
             attention_impl=self.attention_impl, dtype=self.dtype, name="attn",
-        )(x_windows, window, attn_mask, deterministic=deterministic)
-        x = window_reverse(attn_out, window, B, Dp, Hp, Wp)
+        )
+        if self.attention_impl == "pallas_fused" and self.attn_drop == 0.0:
+            N = window[0] * window[1] * window[2]
+            mask_grid = None
+            if attn_mask is not None:
+                mask_grid = attn_mask.reshape(
+                    Dp // window[0], Hp // window[1], Wp // window[2], N, N)
+            x = attn_module(x, window, mask_grid, deterministic=deterministic)
+        else:
+            x_windows = window_partition(x, window)
+            attn_out = attn_module(
+                x_windows, window, attn_mask, deterministic=deterministic)
+            x = window_reverse(attn_out, window, B, Dp, Hp, Wp)
 
         if do_shift:
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))

@@ -212,6 +212,170 @@ def _xla_probs(q, k, bias, mask, scale):
     return jax.nn.softmax(logits, axis=-1)
 
 
+# ------------------------------------------------------------------ v3
+# Fully fused path: windows are indexed straight out of the (B, D, H, W, ...)
+# feature layout by BlockSpec index maps, so the 8-D window_partition /
+# window_reverse transposes (measured ~19% of eval step time as XLA copies)
+# never materialize. qkv/proj matmuls stay in XLA (big MXU shapes).
+
+
+def _attn_kernel_v3(qkv_ref, bias_ref, out_ref, *, scale, nH):
+    # qkv_ref block: (1, wd, wh, ww, 3, nH, hd); Mosaic tiling requires the
+    # block's LAST TWO dims be full/aligned, so (nH, hd) stay whole and the
+    # head loop lives inside.
+    blk = qkv_ref[0]                              # (wd, wh, ww, 3, nH, hd)
+    wd, wh, ww, _, _, hd = blk.shape
+    N = wd * wh * ww
+    qkv = blk.reshape(N, 3, nH, hd).astype(jnp.float32)
+    for h in range(nH):
+        q, k, v = qkv[:, 0, h], qkv[:, 1, h], qkv[:, 2, h]
+        logits = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h]
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        out_ref[0, :, :, :, h, :] = out.reshape(wd, wh, ww, hd).astype(
+            out_ref.dtype)
+
+
+def _attn_kernel_v3_masked(qkv_ref, bias_ref, mask_ref, out_ref, *, scale, nH):
+    blk = qkv_ref[0]
+    wd, wh, ww, _, _, hd = blk.shape
+    N = wd * wh * ww
+    qkv = blk.reshape(N, 3, nH, hd).astype(jnp.float32)
+    mask = mask_ref[0, 0, 0]
+    for h in range(nH):
+        q, k, v = qkv[:, 0, h], qkv[:, 1, h], qkv[:, 2, h]
+        logits = jax.lax.dot_general(
+            q * scale, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h] + mask
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        out_ref[0, :, :, :, h, :] = out.reshape(wd, wh, ww, hd).astype(
+            out_ref.dtype)
+
+
+def _v3_feasible(nH, N, C, itemsize, budget: int = 8 * 2 ** 20) -> bool:
+    need = (2 * 3 * N * C * itemsize     # double-buffered qkv block
+            + nH * N * N * 4             # bias (all heads resident)
+            + 2 * N * N * 4              # logits + probs
+            + 2 * N * C * itemsize       # out block
+            + 2 * N * N * 4)             # mask block
+    return need <= budget
+
+
+def fused_partition_window_attention(qkv, bias, mask, window, scale):
+    """Window attention straight on the spatial layout.
+
+    qkv    (B, Dp, Hp, Wp, 3, nH, hd)  — padded and (if shifted) pre-rolled
+    bias   (nH, N, N) fp32
+    mask   (nWd, nWh, nWw, N, N) fp32 or None
+    window (wd, wh, ww); Dp/Hp/Wp divisible by it.
+    Returns (B, Dp, Hp, Wp, nH, hd).
+
+    STATUS: compiles in interpret mode (CPU) and is numerically exact, but
+    real-TPU Mosaic rejects the in-kernel (wd,wh,ww,...)->(N,...) collapse
+    for 7-wide windows ("infer-vector-layout: unsupported shape cast") —
+    the 7x7 window is misaligned with the 8x128 vector tiles, which is the
+    same reason the XLA path pays relayout copies. On TPU this routes to
+    the XLA reference; revisit with an 8x8-padded window layout.
+    """
+    B, Dp, Hp, Wp, _, nH, hd = qkv.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    mosaic_ok = (ww % 8 == 0) or _interpret()
+    if not mosaic_ok or not _v3_feasible(nH, N, nH * hd, qkv.dtype.itemsize):
+        return _xla_spatial_reference(qkv, bias, mask, window, scale)
+    grid = (B, Dp // wd, Hp // wh, Wp // ww)
+    qkv_spec = pl.BlockSpec(
+        (1, wd, wh, ww, 3, nH, hd),
+        lambda b, i, j, k: (b, i, j, k, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nH, N, N), lambda b, i, j, k: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (1, wd, wh, ww, nH, hd),
+        lambda b, i, j, k: (b, i, j, k, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Dp, Hp, Wp, nH, hd), qkv.dtype)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * B * (Dp // wd) * (Hp // wh) * (Wp // ww) * nH * N * N * hd,
+        bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+        transcendentals=B * nH * N * N * (Dp // wd) * (Hp // wh) * (Wp // ww),
+    )
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_v3, scale=scale, nH=nH),
+            grid=grid,
+            in_specs=[qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, bias)
+    mask_spec = pl.BlockSpec(
+        (1, 1, 1, N, N), lambda b, i, j, k: (i, j, k, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_v3_masked, scale=scale, nH=nH),
+        grid=grid,
+        in_specs=[qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv, bias, mask)
+
+
+def _xla_spatial_reference(qkv, bias, mask, window, scale):
+    """XLA math for fused_partition_window_attention (bwd recompute + tests)."""
+    B, Dp, Hp, Wp, _, nH, hd = qkv.shape
+    wd, wh, ww = window
+    N = wd * wh * ww
+    x = qkv.reshape(B, Dp // wd, wd, Hp // wh, wh, Wp // ww, ww, 3, nH, hd)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7, 8, 9)      # B,gd,gh,gw,wd,wh,ww,3,nH,hd
+    x = x.reshape(-1, N, 3, nH, hd)
+    q = x[:, :, 0].transpose(0, 2, 1, 3)               # (Bn, nH, N, hd)
+    k = x[:, :, 1].transpose(0, 2, 1, 3)
+    v = x[:, :, 2].transpose(0, 2, 1, 3)
+    flat_mask = None if mask is None else mask.reshape(-1, N, N)
+    out = _xla_attention(q, k, v, bias, flat_mask, scale)  # (Bn, nH, N, hd)
+    out = out.transpose(0, 2, 1, 3).reshape(
+        B, Dp // wd, Hp // wh, Wp // ww, wd, wh, ww, nH, hd)
+    out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7, 8)
+    return out.reshape(B, Dp, Hp, Wp, nH, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spatial_window_attention(qkv, bias, mask, window, scale):
+    """Differentiable wrapper over fused_partition_window_attention."""
+    return fused_partition_window_attention(qkv, bias, mask, window, scale)
+
+
+def _spatial_fwd(qkv, bias, mask, window, scale):
+    return (fused_partition_window_attention(qkv, bias, mask, window, scale),
+            (qkv, bias, mask))
+
+
+def _spatial_bwd(window, scale, residuals, g):
+    qkv, bias, mask = residuals
+    if mask is None:
+        _, vjp = jax.vjp(
+            lambda a, b: _xla_spatial_reference(a, b, None, window, scale),
+            qkv, bias)
+        dq, db = vjp(g)
+        return dq, db, None
+    _, vjp = jax.vjp(
+        lambda a, b, m: _xla_spatial_reference(a, b, m, window, scale),
+        qkv, bias, mask)
+    return vjp(g)
+
+
+spatial_window_attention.defvjp(_spatial_fwd, _spatial_bwd)
+
+
 import os
 
 _KERNEL_VERSION = os.environ.get("CLOVER_WA_KERNEL", "v2")

@@ -60,17 +60,43 @@ def test_kernel_gradients_match_xla(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
-def test_swin_backbone_pallas_matches_xla(rng):
+@pytest.mark.parametrize("impl", ["pallas", "pallas_fused"])
+def test_swin_backbone_pallas_matches_xla(rng, impl):
     """Full backbone parity between attention_impl settings."""
     import dataclasses
 
     cfg_xla = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
                          depths=(2,), num_heads=(2,), window_size=(2, 2, 2),
                          drop_path_rate=0.0)
-    cfg_pl = dataclasses.replace(cfg_xla, attention_impl="pallas")
+    cfg_pl = dataclasses.replace(cfg_xla, attention_impl=impl)
     x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32))
     params = SwinTransformer3D(cfg_xla).init(jax.random.PRNGKey(0), x)["params"]
     out_xla = SwinTransformer3D(cfg_xla).apply({"params": params}, x)
     out_pl = SwinTransformer3D(cfg_pl).apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_xla),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_fused"])
+def test_swin_backbone_pallas_grads_match_xla(rng, impl):
+    import dataclasses
+
+    cfg_xla = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                         depths=(2,), num_heads=(2,), window_size=(2, 2, 2),
+                         drop_path_rate=0.0)
+    cfg_pl = dataclasses.replace(cfg_xla, attention_impl=impl)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 8, 3)).astype(np.float32))
+    params = SwinTransformer3D(cfg_xla).init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(cfg):
+        def f(p):
+            return jnp.sum(SwinTransformer3D(cfg).apply({"params": p}, x) ** 2)
+
+        return jax.grad(f)(params)
+
+    g_xla = loss(cfg_xla)
+    g_pl = loss(cfg_pl)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pl),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
