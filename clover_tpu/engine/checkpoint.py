@@ -36,11 +36,19 @@ def _state_payload(state) -> Dict[str, Any]:
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.max_to_keep = max_to_keep
+        self.async_save = async_save
         self._ckpt = ocp.PyTreeCheckpointer() if _HAVE_ORBAX else None
+        self._inflight = None
+
+    def _wait(self):
+        if self._inflight is not None:
+            self._inflight.join()
+            self._inflight = None
 
     # ------------------------------------------------------------- paths
     def _path(self, step: int) -> str:
@@ -59,16 +67,31 @@ class CheckpointManager:
 
     # ------------------------------------------------------------- save
     def save(self, state, meta: Optional[Dict[str, Any]] = None) -> str:
+        """Persist the train state; with async_save=True the device->host
+        transfer happens now but disk IO runs on a background thread so the
+        train loop keeps stepping (orbax-async style, SURVEY.md §5.3)."""
+        self._wait()
         step = int(state.step)
         path = self._path(step)
         payload = _state_payload(state)
-        payload = jax.tree_util.tree_map(np.asarray, payload)
+        payload = jax.tree_util.tree_map(np.asarray, payload)  # sync snapshot
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckpt.save(path, payload)
-        with open(os.path.join(self.directory, f"meta_{step:010d}.json"), "w") as f:
-            json.dump({"step": step, **(meta or {})}, f)
-        self._prune()
+
+        def write():
+            self._ckpt.save(path, payload)
+            with open(os.path.join(self.directory,
+                                   f"meta_{step:010d}.json"), "w") as f:
+                json.dump({"step": step, **(meta or {})}, f)
+            self._prune()
+
+        if self.async_save:
+            import threading
+
+            self._inflight = threading.Thread(target=write, daemon=False)
+            self._inflight.start()
+        else:
+            write()
         return path
 
     def _prune(self):
@@ -113,6 +136,7 @@ class CheckpointManager:
     # ------------------------------------------------------------- load
     def restore(self, state, step: Optional[int] = None):
         """Restore a full train state (resume)."""
+        self._wait()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
