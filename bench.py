@@ -49,7 +49,7 @@ def bench_train():
 
     cfg = PretrainConfig(
         swin=SwinConfig.base(mask_token=True, attention_impl=ATTN,
-                             use_checkpoint=True),
+                             use_checkpoint=os.environ.get("BENCH_REMAT", "1") == "1"),
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
                             img_in_size=1024, num_frames=T // 2,

@@ -91,11 +91,18 @@ class VideoTextDataset:
         video_mask: bool = False,
         video_mask_grid: int = 7,
         num_masking_patches: int = 10,
+        min_video_num: int = 0,
         seed: int = 0,
     ):
         if records is None:
             records = load_annotations(ann_file)
-        self.records = list(records)
+        records = list(records)
+        # oversample tiny datasets up to min_video_num (reference
+        # VideoDataset min_video_num, video_dataset.py:14-104)
+        if min_video_num and records and len(records) < min_video_num:
+            reps = -(-min_video_num // len(records))
+            records = (records * reps)[:min_video_num]
+        self.records = records
         self.data_prefix = data_prefix
         self.tokenizer = tokenizer
         self.backend = get_backend(backend, **(backend_kwargs or {}))
