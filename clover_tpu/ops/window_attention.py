@@ -127,8 +127,9 @@ def _forward_v2(q, k, v, bias, mask, scale):
     nW = None if mask is None else mask.shape[0]
     W = _pick_window_block(Bn, nH, N, hd, q.dtype.itemsize, nW)
     if W == 0:
-        # shapes whose per-head working set exceeds VMEM (long-context
-        # windows); a flash-style key-tiled kernel is the follow-up
+        # per-head working set exceeds VMEM (long-context windows, e.g.
+        # 32-frame eval: bias alone is nH*392^2*4 bytes); flash-style
+        # key tiling is the follow-up — fall back to XLA
         return _xla_attention(q, k, v, bias, mask, scale)
     qkv_spec = pl.BlockSpec((W, nH, N, hd), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)

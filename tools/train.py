@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (debug/CI)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of training into DIR")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -252,7 +254,12 @@ def main():
     )
     if args.resume:
         trainer.resume()
-    trainer.fit()
+    from clover_tpu.utils.profiling import trace
+
+    with trace(args.profile):
+        trainer.fit()
+    if args.profile:
+        logger.info("profiler trace written to %s", args.profile)
     logger.info("training done at step %d", int(trainer.state.step))
 
 
