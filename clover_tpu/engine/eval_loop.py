@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from clover_tpu.evaluation.metrics import (
+    itm_t2v_recall,
+    l2_normalize,
     qa_accuracy,
     retrieval_recall,
     retrieval_recall_varied,
@@ -79,6 +81,101 @@ def run_retrieval_eval(
     _, first = np.unique(vids, return_index=True)
     video_embd = v[np.sort(first)]
     return retrieval_recall_varied(video_embd, t, dataset.text_video_ids)
+
+
+def run_itm_retrieval_eval(
+    embed_step: Callable,
+    score_step: Callable,
+    params,
+    dataset,
+    loader_iter,
+    out_size: int = 224,
+    dtype=jnp.float32,
+    top_k: Optional[int] = None,
+    pair_batch: int = 32,
+) -> Dict[str, float]:
+    """Full-fusion ITM text→video retrieval (reference non-separate test).
+
+    Reference protocol (multimodal_transformer_pretrain.py:220-225 +
+    recall_for_itm_t2v_retrieval, video_dataset.py:206-238): every
+    (text, video) pair is scored by the fusion transformer's ITM head and
+    texts rank videos by that score. The reference re-runs the whole model
+    per pair; here backbone tokens are cached once per video (`embed_step`
+    also returns the dual-tower embeddings) and only the fusion tower runs
+    per pair (`score_step`) — numerically identical, O(V) backbone passes.
+
+    ``top_k`` optionally restricts fusion scoring to each text's top-K
+    tower-similarity candidates (the standard retrieve-and-rerank
+    protocol); non-candidates rank below all scored pairs. None = exact
+    reference behavior (score all pairs).
+
+    ``embed_step(params, imgs, token_ids, input_mask)
+        -> (visual_tokens (B,T,S,C), v_emb, t_emb)``
+    ``score_step(params, visual_tokens, token_ids, input_mask) -> (B,)``
+    """
+    tok_list, v_list, t_list = [], [], []
+    ids_list, mask_list, idx_list, vid_list = [], [], [], []
+    for batch in loader_iter:
+        imgs = eval_preprocess(
+            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
+            out_size=out_size, dtype=dtype)
+        n_clips = batch["imgs"].shape[1]
+        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        tokens, v, t = embed_step(
+            params, imgs, jnp.asarray(batch["token_ids"]),
+            jnp.asarray(batch["input_mask"]))
+        tok_list.append(np.asarray(tokens, np.float32))
+        v_list.append(np.asarray(v, np.float32))
+        t_list.append(np.asarray(t, np.float32))
+        ids_list.append(np.asarray(batch["token_ids"]))
+        mask_list.append(np.asarray(batch["input_mask"]))
+        idx_list.append(np.asarray(batch["index"]))
+        vid_list.append(np.asarray(batch["video_index"]))
+
+    tokens = np.concatenate(tok_list)
+    v = np.concatenate(v_list)
+    t = np.concatenate(t_list)
+    ids = np.concatenate(ids_list).reshape(len(t), -1)
+    masks = np.concatenate(mask_list).reshape(len(t), -1)
+    idx = np.concatenate(idx_list)
+    vids = np.concatenate(vid_list)
+    tokens, v, t, ids, masks, vids = _dedup_sort(
+        idx, tokens, v, t, ids, masks, vids)
+
+    # one backbone-token set + tower embedding per video
+    _, first = np.unique(vids, return_index=True)
+    first = np.sort(first)
+    video_tokens = tokens[first]
+    video_emb = v[first]
+    n_text, n_video = len(t), len(video_tokens)
+    gt_video = vids  # text i's true video index
+
+    # candidate selection by tower similarity
+    sims = l2_normalize(t.astype(np.float64)) @ l2_normalize(
+        video_emb.astype(np.float64)).T
+    if top_k is None or top_k >= n_video:
+        cand = np.broadcast_to(np.arange(n_video), (n_text, n_video)).copy()
+    else:
+        cand = np.argsort(-sims, axis=1)[:, :top_k]
+
+    # batched fusion scoring over the (text, candidate-video) pair list
+    pairs_t = np.repeat(np.arange(n_text), cand.shape[1])
+    pairs_v = cand.reshape(-1)
+    scores = np.full((n_text, n_video), -np.inf, np.float32)
+    n_pairs = len(pairs_t)
+    for start in range(0, n_pairs, pair_batch):
+        sel = slice(start, min(start + pair_batch, n_pairs))
+        ti, vi = pairs_t[sel], pairs_v[sel]
+        pad = pair_batch - len(ti)   # keep the jit shape static
+        ti_p = np.concatenate([ti, np.zeros(pad, ti.dtype)])
+        vi_p = np.concatenate([vi, np.zeros(pad, vi.dtype)])
+        s = score_step(
+            params,
+            jnp.asarray(video_tokens[vi_p]),
+            jnp.asarray(ids[ti_p]),
+            jnp.asarray(masks[ti_p]))
+        scores[ti, vi] = np.asarray(s, np.float32)[: len(ti)]
+    return itm_t2v_recall(scores, gt_video)
 
 
 def run_mc_retrieval_eval(

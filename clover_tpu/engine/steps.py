@@ -132,6 +132,32 @@ def make_embed_eval_step(model) -> Callable:
     return step
 
 
+def make_itm_embed_step(model) -> Callable:
+    """Backbone tokens + dual-tower embeddings for the itm retrieval eval
+    (cached-token protocol; see eval_loop.run_itm_retrieval_eval)."""
+
+    @jax.jit
+    def step(params, imgs, token_ids, input_mask):
+        tokens = model.apply({"params": params}, imgs, token_ids.shape[0],
+                             method="encode_visual")
+        v, t = model.apply({"params": params}, imgs, token_ids, input_mask,
+                           method="forward_test")
+        return tokens, v, t
+
+    return step
+
+
+def make_itm_score_step(model) -> Callable:
+    """Fused ITM match probability for (cached-video-tokens, text) pairs."""
+
+    @jax.jit
+    def step(params, visual_tokens, token_ids, input_mask):
+        return model.apply({"params": params}, visual_tokens, token_ids,
+                           input_mask, method="itm_pair_score")
+
+    return step
+
+
 def make_qa_eval_step(model) -> Callable:
     @jax.jit
     def step(params, imgs, token_ids, input_mask):

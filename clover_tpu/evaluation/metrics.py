@@ -84,6 +84,37 @@ def retrieval_recall_varied(
     }
 
 
+def itm_t2v_recall(
+    scores: np.ndarray,
+    gt_video: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Text→video recall from fused ITM match scores.
+
+    ``scores[t, v]`` is the ITM score of text t against video v; ground
+    truth is ``gt_video[t]`` (diagonal when omitted). Same rank bookkeeping
+    as the reference's recall_for_itm_t2v_retrieval
+    (mmaction/datasets/video_dataset.py:206-238): per-text rank of the true
+    video under descending score, R@K percentages, median rank, and
+    Recall@all = R@1 + R@5 + R@10 − MR.
+    """
+    scores = np.asarray(scores)
+    gt = (np.arange(len(scores)) if gt_video is None
+          else np.asarray(gt_video).reshape(-1))
+    ranking = np.argsort(-scores, axis=1)
+    ind = np.where(ranking == gt[:, None])[1]
+    metrics = {
+        "Recall@1": float(np.sum(ind == 0)) / len(ind) * 100,
+        "Recall@5": float(np.sum(ind < 5)) / len(ind) * 100,
+        "Recall@10": float(np.sum(ind < 10)) / len(ind) * 100,
+        "MR": float(np.median(ind) + 1),
+    }
+    metrics["Recall@all"] = (
+        metrics["Recall@1"] + metrics["Recall@5"] + metrics["Recall@10"]
+        - metrics["MR"]
+    )
+    return metrics
+
+
 def multiple_choice_retrieval_acc(
     video_embd: np.ndarray,
     text_embd: np.ndarray,

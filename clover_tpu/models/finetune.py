@@ -74,6 +74,10 @@ class CloverFinetune(nn.Module):
                 dropout_ratio=0.0,
                 dtype=self.dtype,
             )
+            if cfg.use_itm_head:
+                # itm-head full-fusion retrieval eval (reference forward_test
+                # non-separate branch, multimodal_transformer_pretrain.py:220-225)
+                self.itm_head = ITMHead(cfg.fusion.hidden_size, dtype=self.dtype)
         elif cfg.task in ("video_qa", "FIB"):
             if cfg.use_itm_head:
                 self.itm_head = ITMHead(cfg.fusion.hidden_size, dtype=self.dtype)
@@ -84,8 +88,8 @@ class CloverFinetune(nn.Module):
                                         num_labels=cfg.num_labels, dtype=self.dtype)
         else:
             raise ValueError(f"unknown task {cfg.task!r}")
-        # the fusion tower exists for QA/FIB tasks (and for itm-style eval)
-        if cfg.task in ("video_qa", "FIB"):
+        # the fusion tower exists for QA/FIB tasks and for itm-style eval
+        if cfg.task in ("video_qa", "FIB") or cfg.use_itm_head:
             self.multimodal_backbone = CrossModalTransformer(cfg.fusion,
                                                              dtype=self.dtype)
 
@@ -177,6 +181,40 @@ class CloverFinetune(nn.Module):
             return self.ssl_head(visual_feat, text_hidden, input_mask, token_ids,
                                  deterministic=det)
         return self._qa_logits(visual_feat, token_ids, input_mask, det)
+
+    def encode_visual(self, imgs: jax.Array, n_videos: int) -> jax.Array:
+        """Backbone features for the itm eval's cached-token protocol.
+
+        Returns (n_videos, T, H*W, C) fusion-layout tokens. The reference's
+        itm t2v eval re-runs the full model per (video, text) pair; caching
+        the Swin tokens once per video and re-running only the fusion tower
+        is numerically identical and O(V) instead of O(V*T) backbone passes.
+        """
+        imgs = imgs.reshape((-1,) + imgs.shape[-4:])
+        feat = self._visual_feat(imgs, n_videos, True)
+        B, T, H, W, C = feat.shape
+        return feat.reshape(B, T, H * W, C)
+
+    def itm_pair_score(
+        self,
+        visual_tokens: jax.Array,   # (B, T, S, C) cached backbone tokens
+        token_ids: jax.Array,       # (B, L)
+        input_mask: jax.Array,      # (B, L)
+    ) -> jax.Array:
+        """Fused match probability for aligned (video, text) pairs.
+
+        Reference non-separate forward_test
+        (multimodal_transformer_pretrain.py:220-225): full fusion pass,
+        first-position CLS -> ITM head -> softmax; score = P(match).
+        """
+        text_hidden = self.text_backbone(token_ids, input_mask,
+                                         deterministic=True)
+        output = self.multimodal_backbone(
+            visual_tokens, input_mask, text_input_embeds=text_hidden,
+            deterministic=True)
+        cls = output["last_hidden_state"][:, 0]
+        logits = self.itm_head(cls, deterministic=True)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
 
     def forward_test(
         self,

@@ -83,8 +83,20 @@ def main():
                            dtype=model.dtype)
     init_args = (imgs[None], jnp.asarray(sample["token_ids"])[None],
                  jnp.asarray(sample["input_mask"])[None])
-    params = model.init(jax.random.PRNGKey(0), *init_args,
-                        method="forward_test")["params"]
+    if cfg.model.get("eval_mode") == "itm_retrieval":
+        # touch the fusion/itm params as well as the towers at init
+        def _init_all(m, imgs, ids, mask):
+            ids2 = ids.reshape((-1,) + ids.shape[-1:])
+            mask2 = mask.reshape((-1,) + mask.shape[-1:])
+            tokens = m.encode_visual(imgs, ids2.shape[0])
+            return m.forward_test(imgs, ids, mask), m.itm_pair_score(
+                tokens, ids2, mask2)
+
+        params = model.init(jax.random.PRNGKey(0), *init_args,
+                            method=_init_all)["params"]
+    else:
+        params = model.init(jax.random.PRNGKey(0), *init_args,
+                            method="forward_test")["params"]
 
     is_retrieval = (cfg.model["type"] == "CloverPretrain"
                     or cfg.model.get("task") == "retrieval")
@@ -97,6 +109,19 @@ def main():
             return run_mc_retrieval_eval(eval_step, params, test_ds,
                                          loader.epoch(0), out_size=img_size,
                                          dtype=model.dtype)
+        if is_retrieval and cfg.model.get("eval_mode") == "itm_retrieval":
+            # full-fusion itm reranking (reference forward_test non-separate
+            # branch + recall_for_itm_t2v_retrieval)
+            from clover_tpu.engine.eval_loop import run_itm_retrieval_eval
+            from clover_tpu.engine.steps import (
+                make_itm_embed_step,
+                make_itm_score_step,
+            )
+
+            return run_itm_retrieval_eval(
+                make_itm_embed_step(model), make_itm_score_step(model),
+                params, test_ds, loader.epoch(0), out_size=img_size,
+                dtype=model.dtype, top_k=cfg.model.get("itm_top_k"))
         if is_retrieval:
             eval_step = make_embed_eval_step(model)
             return run_retrieval_eval(eval_step, params, test_ds,
