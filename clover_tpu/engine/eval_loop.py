@@ -10,17 +10,40 @@ dispatch (core/hooks/my_eval_hook.py:20-401, SURVEY.md §3.4):
 - reduce video embeddings per video (multi-caption datasets) and compute
   the dataset's metric.
 
-Under pjit the per-batch forward is already global; host gathering across
-processes (multi-host) would use jax.experimental.multihost_utils —
-single-host here, hook point marked.
+Under pjit the per-batch forward is already global on a single host's
+devices; across hosts each process evaluates its own (padded,
+rank-strided) shard and host results are all-gathered with
+jax.experimental.multihost_utils before the index dedup, which also
+removes the sampler padding (reference collect_results_gpu + np.unique,
+my_eval_hook.py:78-98).
 """
 
 from __future__ import annotations
 
 from typing import Callable, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _host_gather(*arrays):
+    """Concatenate per-process eval results across hosts.
+
+    Identity in single-process runs. Multi-host: every process must
+    contribute equally-shaped arrays — guaranteed by the ShardedSampler's
+    pad-to-divisible protocol (clover_tpu/data/loader.py), whose duplicate
+    entries the caller's index-dedup then removes.
+    """
+    if jax.process_count() == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    from jax.experimental import multihost_utils
+
+    out = [
+        np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        for a in arrays
+    ]
+    return out if len(out) > 1 else out[0]
 
 from clover_tpu.evaluation.metrics import (
     itm_t2v_recall,
@@ -72,6 +95,7 @@ def run_retrieval_eval(
     t = np.concatenate(t_list)
     idx = np.concatenate(idx_list)
     vids = np.concatenate(vid_list)
+    v, t, idx, vids = _host_gather(v, t, idx, vids)
     v, t, vids = _dedup_sort(idx, v, t, vids)
 
     captions_per_video = [len(ids) for ids in dataset.text_video_ids]
@@ -139,6 +163,8 @@ def run_itm_retrieval_eval(
     masks = np.concatenate(mask_list).reshape(len(t), -1)
     idx = np.concatenate(idx_list)
     vids = np.concatenate(vid_list)
+    tokens, v, t, ids, masks, idx, vids = _host_gather(
+        tokens, v, t, ids, masks, idx, vids)
     tokens, v, t, ids, masks, vids = _dedup_sort(
         idx, tokens, v, t, ids, masks, vids)
 
@@ -206,6 +232,7 @@ def run_mc_retrieval_eval(
     t = np.concatenate(t_list)
     idx = np.concatenate(idx_list)
     vids = np.concatenate(vid_list)
+    v, t, idx, vids = _host_gather(v, t, idx, vids)
     v, t, vids = _dedup_sort(idx, v, t, vids)
     _, first = np.unique(vids, return_index=True)
     video_embd = v[np.sort(first)]
@@ -241,6 +268,7 @@ def run_zeroshot_action_eval(
     v = np.concatenate(v_list)
     labels = np.concatenate(lbl_list)
     idx = np.concatenate(idx_list)
+    v, labels, idx = _host_gather(v, labels, idx)
     v, labels = _dedup_sort(idx, v, labels)
     return zeroshot_action_recognition_acc(v, class_text_embd, labels)
 
@@ -271,5 +299,6 @@ def run_qa_eval(
     s = np.concatenate(scores)
     y = np.concatenate(labels)
     idx = np.concatenate(idx_list)
+    s, y, idx = _host_gather(s, y, idx)
     s, y = _dedup_sort(idx, s, y)
     return qa_accuracy(s, y)

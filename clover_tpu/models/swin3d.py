@@ -57,6 +57,14 @@ class SwinConfig:
     mask_token: bool = False
     use_checkpoint: bool = False
     attention_impl: str = "xla"      # 'xla' | 'pallas' (fused VMEM kernel)
+    # sequence parallelism (capability beyond the DP-only reference,
+    # SURVEY.md §5.7): per-dim mesh-axis names for the (B, D, H, W, C)
+    # block activations, e.g. ('data', None, 'sp', None, None) shards the
+    # spatial rows; GSPMD turns the shifted-window jnp.roll into a ring
+    # halo exchange (collective-permute), the same O(shift) traffic as
+    # parallel/sequence.py:distributed_roll. Requires running under
+    # jax.set_mesh with the named axes; silently inactive otherwise.
+    act_sharding: Optional[Tuple[Optional[str], ...]] = None
 
     @property
     def num_features(self) -> int:
@@ -138,6 +146,25 @@ def shift_attn_mask(
     ).transpose(0, 2, 4, 1, 3, 5).reshape(-1, window[0] * window[1] * window[2])
     diff = wins[:, None, :] - wins[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def constrain_activation(
+    x: jax.Array, spec: Optional[Tuple[Optional[str], ...]]
+) -> jax.Array:
+    """with_sharding_constraint(x, P(*spec)) when a mesh context with the
+    named axes is active; identity otherwise (single-device / tests)."""
+    if spec is None:
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty:
+        return x
+    names = set(mesh.axis_names)
+    used = tuple(s if (s in names) else None for s in spec)
+    if not any(used):
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(*used[: x.ndim]))
 
 
 def window_partition(x: jax.Array, window: Tuple3) -> jax.Array:
@@ -272,10 +299,12 @@ class SwinBlock3D(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     attention_impl: str = "xla"
+    act_sharding: Optional[Tuple[Optional[str], ...]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = constrain_activation(x, self.act_sharding)
         B, D, H, W, C = x.shape
         window, shift = effective_window((D, H, W), self.window_size, self.shift_size)
 
@@ -413,6 +442,7 @@ class SwinTransformer3D(nn.Module):
     ):
         cfg = self.config
         x = PatchEmbed3D(cfg, dtype=self.dtype, name="patch_embed")(x)
+        x = constrain_activation(x, cfg.act_sharding)
 
         if cfg.mask_token:
             # created unconditionally so init without a mask still owns it
@@ -455,6 +485,7 @@ class SwinTransformer3D(nn.Module):
                     attn_drop=cfg.attn_drop_rate,
                     drop_path=dpr[block_idx],
                     attention_impl=cfg.attention_impl,
+                    act_sharding=cfg.act_sharding,
                     dtype=self.dtype,
                     name=f"stage_{i_stage}_block_{i_blk}",
                 )(x, deterministic)

@@ -56,6 +56,44 @@ _TP_COLUMN = ("query", "key", "value", "qkv", "intermediate", "fc1")
 _TP_ROW = ("attention_output", "output", "proj", "fc2")
 
 
+def combined_param_shardings(
+    params: Any,
+    mesh: Mesh,
+    fsdp_axis: str = "fsdp",
+    model_axis: str = "model",
+    min_size: int = 2 ** 16,
+) -> Any:
+    """TP rules first, FSDP on what TP left replicated.
+
+    The config-path entry point (tools/train.py ``parallel`` section): a
+    kernel claimed by a Megatron column/row rule is sharded on
+    ``model_axis``; everything else big enough falls back to the FSDP
+    largest-divisible-dim rule on ``fsdp_axis``. When a TP-sharded kernel's
+    *other* dim divides the fsdp axis size the two composes (2D sharding).
+    """
+    tp = tp_param_shardings(params, mesh, axis=model_axis)
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    fsdp_size = axis_sizes.get(fsdp_axis, 1)
+
+    def merge(leaf, tp_sh):
+        shape = np.shape(leaf)
+        tp_spec = tuple(tp_sh.spec) + (None,) * (len(shape) - len(tp_sh.spec))
+        if fsdp_size == 1 or np.prod(shape, dtype=np.int64) < min_size:
+            return tp_sh
+        free = [
+            (dim_size, i) for i, dim_size in enumerate(shape)
+            if tp_spec[i] is None and dim_size % fsdp_size == 0
+        ]
+        if not free:
+            return tp_sh
+        _, dim = max(free)
+        spec = list(tp_spec)
+        spec[dim] = fsdp_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(merge, params, tp)
+
+
 def tp_param_shardings(params: Any, mesh: Mesh, axis: str = "model") -> Any:
     """NamedShardings splitting attention heads / MLP hidden over ``axis``."""
     axis_size = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]

@@ -76,17 +76,34 @@ def main():
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(os.path.join(work_dir, "config.json"))
 
-    # data axis must divide the global batch; use the largest divisor of
-    # batch_size that the device count allows
+    # mesh axes from the config's parallel section (fsdp / tensor-parallel
+    # are capabilities beyond the DP-only reference, SURVEY.md §2.5);
+    # the data axis gets the remaining devices and must divide the batch
+    par_cfg = cfg.get("parallel", {})
+    fsdp_size = int(par_cfg.get("fsdp", 1))
+    model_size = int(par_cfg.get("model", 1))
+    seq_size = int(par_cfg.get("sequence", 1))
     batch_size = cfg.data.get("train_loader", {}).get("batch_size", 8)
     n_dev = len(jax.devices())
-    data_axis = n_dev
+    nondata = fsdp_size * model_size * seq_size
+    if n_dev % nondata:
+        raise SystemExit(
+            f"parallel fsdp*model*sequence={nondata} must divide the "
+            f"device count {n_dev}")
+    data_axis = n_dev // nondata
     while batch_size % data_axis:
         data_axis -= 1
-    mesh = make_mesh(axis_sizes=(data_axis,),
-                     devices=jax.devices()[:data_axis])
+    n_used = data_axis * nondata
+    mesh = make_mesh(axis_sizes=(data_axis, fsdp_size, model_size, seq_size),
+                     axis_names=("data", "fsdp", "model", "sp"),
+                     devices=jax.devices()[:n_used])
     logger.info("devices: %s, mesh axes %s", n_dev,
                 dict(zip(mesh.axis_names, mesh.devices.shape)))
+    if seq_size > 1:
+        # sequence parallelism: shard the Swin spatial rows over 'sp'
+        # (SwinConfig.act_sharding; GSPMD halo-exchanges the window shifts)
+        cfg.model.setdefault("swin", {})["act_sharding"] = (
+            "data", None, "sp", None, None)
 
     # ------------------------------------------------------------- data
     tok_cfg = cfg.get("tokenizer")
@@ -170,6 +187,17 @@ def main():
                 fresh.append(key)
         params = type(params)(merged) if not isinstance(params, dict) else merged
         logger.info("load_from %s: loaded %s; fresh %s", load_from, loaded, fresh)
+
+    if fsdp_size > 1 or model_size > 1:
+        # place params on their fsdp/tp shardings (after any warm start);
+        # the optimizer state created from them inherits the placements and
+        # GSPMD threads the shardings through the jitted train step
+        from clover_tpu.parallel.sharding import combined_param_shardings
+
+        param_sh = combined_param_shardings(params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, params, param_sh)
+        logger.info("placed params with fsdp=%d model=%d shardings",
+                    fsdp_size, model_size)
 
     # ----------------------------------------------------- optimizer
     opt_cfg = cfg.get("optimizer", {})
@@ -256,7 +284,7 @@ def main():
         trainer.resume()
     from clover_tpu.utils.profiling import trace
 
-    with trace(args.profile):
+    with jax.set_mesh(mesh), trace(args.profile):
         trainer.fit()
     if args.profile:
         logger.info("profiler trace written to %s", args.profile)
