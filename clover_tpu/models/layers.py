@@ -34,9 +34,43 @@ def dense(features: int, *, use_bias: bool = True, dtype: Dtype = jnp.float32,
     )
 
 
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm drop-in backed by the fused Pallas kernel on TPU.
+
+    Same parameter names/shapes ('scale', 'bias', fp32) and the same
+    fp32-stats semantics, so checkpoints are interchangeable. On non-TPU
+    backends the op falls back to an identical XLA implementation.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from clover_tpu.ops.layer_norm import fused_layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return fused_layer_norm(x.astype(self.dtype), scale, bias,
+                                self.epsilon)
+
+
+import os as _os
+
+# Default XLA: measured 275 vs 283-291 clips/s with the Pallas LN on the
+# eval bench. XLA already fuses the normalize-apply into each consumer, so
+# a standalone LN kernel costs one extra HBM write per site; the kernel
+# only wins if it also swallows the consumer matmul (future work). Kept as
+# an opt-in (CLOVER_LN=pallas) with tests.
+_LN_IMPL = _os.environ.get("CLOVER_LN", "xla")
+
+
 def layer_norm(*, eps: float = 1e-5, dtype: Dtype = jnp.float32,
-               name: Optional[str] = None) -> nn.LayerNorm:
+               name: Optional[str] = None):
     # Norm statistics always in fp32 (reference patch_norm_fp32 behavior).
+    if _LN_IMPL == "pallas":
+        return FusedLayerNorm(epsilon=eps, dtype=dtype, name=name)
     return nn.LayerNorm(epsilon=eps, dtype=dtype, param_dtype=jnp.float32, name=name)
 
 

@@ -45,6 +45,11 @@ class PretrainConfig:
     use_cmask: bool = True          # reference use_Cmask
     symmetry_rank: bool = True
     scale_pixels: bool = False      # reference from_scratch imgs/255
+    # batch the clean+masked tower passes into single 2B calls (numerically
+    # identical — LN/attention are per-sample; the SimMIM mixing with an
+    # all-zero mask is the identity). Halves kernel launches and doubles
+    # the MXU batch; the sequential path is kept for A/B and goldens.
+    batch_passes: bool = True
 
 
 class CloverPretrain(nn.Module):
@@ -101,30 +106,62 @@ class CloverPretrain(nn.Module):
         # (reference multimodal_transformer_pretrain.py:97)
         input_ssl_ids = jnp.where(mlm_label == IGNORE_INDEX, token_ids, mlm_label)
 
-        visual_feat = self.backbone(imgs, deterministic=det)          # clean V
-        text_no_mask = self.text_backbone(
-            input_ssl_ids, input_mask, deterministic=det)             # clean T
+        v_token_mask = batch["v_token_mask"].reshape(
+            (-1,) + batch["v_token_mask"].shape[-2:])
+
+        if cfg.batch_passes:
+            # ONE 2B Swin pass: [clean; masked] with an all-zero mask for
+            # the clean half (identity under the SimMIM mixing)
+            both_imgs = jnp.concatenate([imgs, imgs], axis=0)
+            both_mask = jnp.concatenate(
+                [jnp.zeros_like(v_token_mask), v_token_mask], axis=0)
+            both_feat, _ = self.backbone(both_imgs, both_mask,
+                                         deterministic=det)
+            B = imgs.shape[0]
+            visual_feat, visual_feat_masked = both_feat[:B], both_feat[B:]
+            # ONE 2B BERT pass: [clean; masked] text
+            both_ids = jnp.concatenate([input_ssl_ids, token_ids], axis=0)
+            both_imask = jnp.concatenate([input_mask, input_mask], axis=0)
+            both_text = self.text_backbone(both_ids, both_imask,
+                                           deterministic=det)
+            text_no_mask, text_with_mask = both_text[:B], both_text[B:]
+        else:
+            visual_feat = self.backbone(imgs, deterministic=det)      # clean V
+            text_no_mask = self.text_backbone(
+                input_ssl_ids, input_mask, deterministic=det)         # clean T
+            text_with_mask = self.text_backbone(
+                token_ids, input_mask, deterministic=det)             # masked T
+            visual_feat_masked, _ = self.backbone(
+                imgs, v_token_mask, deterministic=det)                # masked V
 
         visual_emb, text_emb = self.ssl_head(
             visual_feat, text_no_mask, input_mask, input_ssl_ids,
             deterministic=det)
 
-        text_with_mask = self.text_backbone(
-            token_ids, input_mask, deterministic=det)                 # masked T
-
-        v_token_mask = batch["v_token_mask"].reshape(
-            (-1,) + batch["v_token_mask"].shape[-2:])
-        visual_feat_masked, _ = self.backbone(
-            imgs, v_token_mask, deterministic=det)                    # masked V
-
-        # fusion pass 1: masked video + clean text  (reference :117)
-        v_fusion = self.multimodal_backbone(
-            self._visual_tokens(visual_feat_masked), input_mask,
-            text_input_embeds=text_no_mask, deterministic=det)
-        # fusion pass 2: clean video + masked text  (reference :119)
-        t_fusion = self.multimodal_backbone(
-            self._visual_tokens(visual_feat), input_mask,
-            text_input_embeds=text_with_mask, deterministic=det)
+        if cfg.batch_passes:
+            # ONE 2B fusion pass: [masked video + clean text;
+            #                      clean video + masked text]
+            both_tokens = jnp.concatenate(
+                [self._visual_tokens(visual_feat_masked),
+                 self._visual_tokens(visual_feat)], axis=0)
+            both_fused = self.multimodal_backbone(
+                both_tokens,
+                jnp.concatenate([input_mask, input_mask], axis=0),
+                text_input_embeds=jnp.concatenate(
+                    [text_no_mask, text_with_mask], axis=0),
+                deterministic=det)
+            B = imgs.shape[0]
+            v_fusion = {k: v[:B] for k, v in both_fused.items()}
+            t_fusion = {k: v[B:] for k, v in both_fused.items()}
+        else:
+            # fusion pass 1: masked video + clean text  (reference :117)
+            v_fusion = self.multimodal_backbone(
+                self._visual_tokens(visual_feat_masked), input_mask,
+                text_input_embeds=text_no_mask, deterministic=det)
+            # fusion pass 2: clean video + masked text  (reference :119)
+            t_fusion = self.multimodal_backbone(
+                self._visual_tokens(visual_feat), input_mask,
+                text_input_embeds=text_with_mask, deterministic=det)
 
         out: Dict[str, jax.Array] = {
             "visual_emb": visual_emb,

@@ -116,21 +116,84 @@ def _attn_kernel_v2_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref, *,
         out_ref[:, h] = out.astype(out_ref.dtype)
 
 
+def _pick_window_block_v4(Bn: int, nH: int, N: int, hd: int, itemsize: int,
+                          nW: Optional[int], budget: int = 4 * 2 ** 20) -> int:
+    """v4 live set: ALL heads' f32 logits+probs at once plus f32 qkv copies
+    (the price of the single batched dot)."""
+    for w in (16, 8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        need = (3 * w * nH * N * hd * (itemsize + 4)   # qkv blocks + f32 copies
+                + nH * N * N * 4                        # bias
+                + (w * N * N * 4 if nW is not None else 0)
+                + 2 * w * nH * N * N * 4                # logits + probs (all heads)
+                + w * nH * N * hd * (itemsize + 4))     # out + f32 out
+        if need <= budget:
+            return w
+    return 0
+
+
+def _attn_kernel_v4(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, nH):
+    """v2 I/O layout, but ONE batched dot over (W*nH) instead of a python
+    head loop — fewer, larger MXU dispatches; (N, hd) tiles unchanged so
+    the (W, nH) -> (W*nH) collapse is layout-trivial for Mosaic."""
+    W, _, N, hd = q_ref.shape
+    q = q_ref[:].reshape(W * nH, N, hd).astype(jnp.float32)
+    k = k_ref[:].reshape(W * nH, N, hd).astype(jnp.float32)
+    v = v_ref[:].reshape(W * nH, N, hd).astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q * scale, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (W*nH, N, N)
+    logits = logits.reshape(W, nH, N, N) + bias_ref[:][None]
+    probs = jax.nn.softmax(logits, axis=-1).reshape(W * nH, N, N)
+    out = jax.lax.dot_general(
+        probs, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out_ref[:] = out.reshape(W, nH, N, hd).astype(out_ref.dtype)
+
+
+def _attn_kernel_v4_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+                           *, scale, nH):
+    W, _, N, hd = q_ref.shape
+    q = q_ref[:].reshape(W * nH, N, hd).astype(jnp.float32)
+    k = k_ref[:].reshape(W * nH, N, hd).astype(jnp.float32)
+    v = v_ref[:].reshape(W * nH, N, hd).astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q * scale, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    logits = (logits.reshape(W, nH, N, N) + bias_ref[:][None]
+              + mask_ref[:][:, None])
+    probs = jax.nn.softmax(logits, axis=-1).reshape(W * nH, N, N)
+    out = jax.lax.dot_general(
+        probs, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    out_ref[:] = out.reshape(W, nH, N, hd).astype(out_ref.dtype)
+
+
 def _xla_attention(q, k, v, bias, mask, scale):
     probs = _xla_probs(q, k, bias, mask, scale)
     return jnp.einsum("bhqk,bhkd->bhqd", probs,
                       v.astype(jnp.float32)).astype(q.dtype)
 
 
-def _forward_v2(q, k, v, bias, mask, scale):
+def _forward_v2(q, k, v, bias, mask, scale, version="v2"):
     Bn, nH, N, hd = q.shape
     nW = None if mask is None else mask.shape[0]
-    W = _pick_window_block(Bn, nH, N, hd, q.dtype.itemsize, nW)
+    if version == "v4":
+        W = _pick_window_block_v4(Bn, nH, N, hd, q.dtype.itemsize, nW)
+    else:
+        W = _pick_window_block(Bn, nH, N, hd, q.dtype.itemsize, nW)
     if W == 0:
         # per-head working set exceeds VMEM (long-context windows, e.g.
         # 32-frame eval: bias alone is nH*392^2*4 bytes); flash-style
         # key tiling is the follow-up — fall back to XLA
         return _xla_attention(q, k, v, bias, mask, scale)
+    if version == "v4":
+        kern, kern_masked = _attn_kernel_v4, _attn_kernel_v4_masked
+    else:
+        kern, kern_masked = _attn_kernel_v2, _attn_kernel_v2_masked
     qkv_spec = pl.BlockSpec((W, nH, N, hd), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nH, N, N), lambda i: (0, 0, 0),
@@ -142,7 +205,7 @@ def _forward_v2(q, k, v, bias, mask, scale):
     )
     if mask is None:
         return pl.pallas_call(
-            functools.partial(_attn_kernel_v2, scale=scale, nH=nH),
+            functools.partial(kern, scale=scale, nH=nH),
             grid=(Bn // W,),
             in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
             out_specs=qkv_spec,
@@ -153,7 +216,7 @@ def _forward_v2(q, k, v, bias, mask, scale):
     mask_spec = pl.BlockSpec((W, N, N), lambda i: ((i * W) % nW, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_kernel_v2_masked, scale=scale, nH=nH),
+        functools.partial(kern_masked, scale=scale, nH=nH),
         grid=(Bn // W,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
         out_specs=qkv_spec,
@@ -385,7 +448,7 @@ _KERNEL_VERSION = os.environ.get("CLOVER_WA_KERNEL", "v2")
 def _dispatch(q, k, v, bias, mask, scale):
     if _KERNEL_VERSION == "v1":
         return _forward(q, k, v, bias, mask, scale)
-    return _forward_v2(q, k, v, bias, mask, scale)
+    return _forward_v2(q, k, v, bias, mask, scale, version=_KERNEL_VERSION)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

@@ -234,3 +234,19 @@ def test_finetune_qa_oe_with_answer_mask(np_rng):
     params = model.init(jax.random.PRNGKey(0), batch, train=False)["params"]
     logits = model.apply({"params": params}, batch, train=False)
     assert logits.shape == (B, 12)
+
+
+def test_pretrain_batched_passes_match_sequential(pretrain_setup):
+    """batch_passes=True (one 2B Swin/BERT/fusion call each) must be
+    numerically identical to the reference-shaped sequential graph."""
+    import dataclasses
+
+    cfg, model, params, batch = pretrain_setup
+    seq_model = CloverPretrain(dataclasses.replace(cfg, batch_passes=False))
+    out_b = model.apply({"params": params}, batch, train=False)
+    out_s = seq_model.apply({"params": params}, batch, train=False)
+    assert set(out_b) == set(out_s)
+    for k in out_s:
+        np.testing.assert_allclose(
+            np.asarray(out_b[k]), np.asarray(out_s[k]),
+            rtol=2e-5, atol=2e-5, err_msg=k)
