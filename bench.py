@@ -49,7 +49,11 @@ def bench_train():
 
     cfg = PretrainConfig(
         swin=SwinConfig.base(mask_token=True, attention_impl=ATTN,
-                             use_checkpoint=os.environ.get("BENCH_REMAT", "1") == "1"),
+                             fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla",
+                             use_checkpoint={"1": True, "0": False}.get(
+                                 os.environ.get("BENCH_REMAT", "1"),
+                                 tuple(int(s) for s in os.environ.get(
+                                     "BENCH_REMAT", "1").split(",")))),
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
                             img_in_size=1024, num_frames=T // 2,
@@ -130,11 +134,13 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 16))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
-    ATTN = os.environ.get("BENCH_ATTN", "xla")
+    ATTN = os.environ.get("BENCH_ATTN", "xla")   # xla|pallas|fused_block
     S = 224
 
     cfg = FinetuneConfig(
-        swin=SwinConfig.base(attention_impl=ATTN),
+        swin=SwinConfig.base(
+            attention_impl=ATTN,
+            fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla"),
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
                             img_in_size=1024, num_frames=T // 2,

@@ -1,0 +1,221 @@
+"""Fused window-attention half-block (Pallas TPU kernel).
+
+Computes, over pre-partitioned windows x (Bn, N, C):
+
+    out = x + (softmax(LN(x)Wq · (LN(x)Wk)^T * scale + bias (+ mask)) · LN(x)Wv) Wproj + bproj
+
+i.e. the entire first half of a Swin block — LN1, the fused qkv projection,
+multi-head windowed attention with relative-position bias and shift mask,
+the output projection, and the residual — in one pass. The XLA lowering
+round-trips the 3C qkv tensor, the head-layout copy, the (Bn, nH, N, N)
+logits and the attention output through HBM (~10 C-passes); here
+everything after the x read stays in VMEM.
+
+Exactness: LN is per-token and window partition / cyclic roll are
+permutations, so LN-after-partition and residual-in-partitioned-layout are
+identical to the unfused order. The caller gates on "no spatial padding"
+(live configs never pad) and inactive dropout/drop-path.
+
+Weights (constant index maps) stay VMEM-resident across grid steps; heads
+are looped in-kernel with lane-sliced q/k/v so only one head's (N, N)
+logits are live at a time. Backward = jax.vjp of the XLA reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+_FORCE_PALLAS = False   # tests: interpret mode on CPU
+
+
+def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+            wp_ref, bp_ref, out_ref, attn_ref, *,
+            eps: float, scale: float, nH: int, mask_ref=None):
+    W, N, C = x_ref.shape
+    hd = C // nH
+    for w in range(W):
+        x = x_ref[w].astype(jnp.float32)                  # (N, C)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]).astype(
+            x_ref.dtype)
+        qkv = jnp.dot(xn, wqkv_ref[:],
+                      preferred_element_type=jnp.float32) + bqkv_ref[:]
+        qkv = qkv.astype(x_ref.dtype)                     # (N, 3C)
+        for h in range(nH):
+            q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32)
+            k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+            v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            logits = jax.lax.dot_general(
+                q * scale, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (N, N)
+            logits = logits + bias_ref[h]
+            if mask_ref is not None:
+                logits = logits + mask_ref[w]
+            probs = jax.nn.softmax(logits, axis=-1).astype(x_ref.dtype)
+            o = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+            attn_ref[:, h * hd:(h + 1) * hd] = o.astype(x_ref.dtype)
+        y = jnp.dot(attn_ref[:], wp_ref[:],
+                    preferred_element_type=jnp.float32) + bp_ref[:]
+        out_ref[w] = (x + y).astype(out_ref.dtype)
+
+
+def _kernel_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                   mask_ref, wp_ref, bp_ref, out_ref, attn_ref, *,
+                   eps, scale, nH):
+    _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+            wp_ref, bp_ref, out_ref, attn_ref,
+            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref)
+
+
+def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
+            nW: Optional[int], budget: int = 6 * 2 ** 20) -> int:
+    weights = 2 * (C * 3 * C + C * C) * itemsize          # qkv+proj, 2 buffers
+    table = nH * N * N * 4
+    if weights + table > budget:
+        return 0
+    for w in (8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        act = (w * N * C * itemsize * 2        # x in + out
+               + N * C * 4                     # x fp32
+               + N * 3 * C * (4 + itemsize)    # qkv fp32 + cast
+               + 2 * N * N * 4                 # logits + probs (one head)
+               + N * C * itemsize              # attn scratch
+               + (w * N * N * 4 if nW is not None else 0))
+        if weights + table + act <= budget:
+            return w
+    return 0
+
+
+def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
+                   wproj, bproj, scale, eps):
+    Bn, N, C = x.shape
+    nH = bias.shape[0]
+    hd = C // nH
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
+    qkv = (jnp.dot(xn, wqkv.astype(x.dtype),
+                   preferred_element_type=jnp.float32) + bqkv)
+    qkv = qkv.reshape(Bn, N, 3, nH, hd)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3).astype(jnp.float32)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3).astype(jnp.float32)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3).astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k) + bias[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        logits = logits.reshape(Bn // nW, nW, nH, N, N) + mask[None, :, None]
+        logits = logits.reshape(Bn, nH, N, N)
+    probs = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bqhd", probs,
+                   v).reshape(Bn, N, C).astype(x.dtype)
+    y = jnp.dot(o, wproj.astype(x.dtype),
+                preferred_element_type=jnp.float32) + bproj
+    return (x32 + y).astype(x.dtype)
+
+
+def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
+             scale, eps):
+    Bn, N, C = x.shape
+    nH = bias.shape[0]
+    use_pallas = _is_tpu() or _FORCE_PALLAS
+    nW = None if mask is None else mask.shape[0]
+    W = _pick_w(Bn, nH, N, C, x.dtype.itemsize, nW) if use_pallas else 0
+    if W == 0:
+        return _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
+                              wproj, bproj, scale, eps)
+    f32 = jnp.float32
+    x_spec = pl.BlockSpec((W, N, C), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                        memory_space=pltpu.VMEM)
+    common_in = [
+        x_spec,
+        const2((1, C)), const2((1, C)),
+        const2((C, 3 * C)), const2((1, 3 * C)),
+        const2((nH, N, N)),
+    ]
+    tail_in = [const2((C, C)), const2((1, C))]
+    args = [x, ln_scale.astype(f32).reshape(1, C),
+            ln_bias.astype(f32).reshape(1, C),
+            wqkv.astype(x.dtype), bqkv.astype(f32).reshape(1, 3 * C),
+            bias.astype(f32)]
+    cost = pl.CostEstimate(
+        flops=2 * Bn * N * (3 * C * C + 2 * N * C + C * C),
+        bytes_accessed=2 * Bn * N * C * x.dtype.itemsize,
+        transcendentals=Bn * nH * N * N,
+    )
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, eps=eps, scale=scale, nH=nH),
+            grid=(Bn // W,),
+            in_specs=common_in + tail_in,
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[pltpu.VMEM((N, C), x.dtype)],
+            cost_estimate=cost,
+            interpret=not _is_tpu(),
+        )(*args, wproj.astype(x.dtype), bproj.astype(f32).reshape(1, C))
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: ((i * W) % nW, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_masked, eps=eps, scale=scale, nH=nH),
+        grid=(Bn // W,),
+        in_specs=common_in + [mask_spec] + tail_in,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((N, C), x.dtype)],
+        cost_estimate=cost,
+        interpret=not _is_tpu(),
+    )(*args, mask.astype(f32), wproj.astype(x.dtype),
+      bproj.astype(f32).reshape(1, C))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_window_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
+                            wproj, bproj, scale: float, eps: float = 1e-5):
+    """x + proj(window_attention(LN(x))) over partitioned windows
+    (Bn, N, C); see module docstring."""
+    return _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj,
+                    bproj, scale, eps)
+
+
+def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
+         scale, eps):
+    out = _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj,
+                   bproj, scale, eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj)
+
+
+def _bwd(scale, eps, residuals, g):
+    x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj = residuals
+    if mask is None:
+        _, vjp = jax.vjp(
+            lambda *a: _xla_reference(*a[:6], None, *a[6:], scale, eps),
+            x, ln_scale, ln_bias, wqkv, bqkv, bias, wproj, bproj)
+        dx, dls, dlb, dwqkv, dbqkv, dbias, dwp, dbp = vjp(g)
+        return dx, dls, dlb, dwqkv, dbqkv, dbias, None, dwp, dbp
+    _, vjp = jax.vjp(
+        lambda *a: _xla_reference(*a, scale, eps),
+        x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj)
+    return vjp(g)
+
+
+fused_window_attn_block.defvjp(_fwd, _bwd)

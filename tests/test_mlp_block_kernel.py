@@ -1,0 +1,88 @@
+"""Fused LN+MLP+residual kernel: parity vs the unfused flax block."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import clover_tpu.ops.mlp_block as MB
+from clover_tpu.models.swin3d import SwinConfig, SwinTransformer3D
+
+
+@pytest.mark.parametrize("rows,C,H,dtype", [
+    (64, 128, 512, jnp.float32),
+    (40, 96, 384, jnp.float32),      # rows not a block multiple
+    (32, 256, 1024, jnp.bfloat16),
+])
+def test_kernel_matches_reference(rows, C, H, dtype, monkeypatch):
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(rows, C)) * 0.5, dtype)
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    got = MB.fused_ln_mlp_residual(x, scale, bias, w1, b1, w2, b2)
+    ref = MB._xla_reference(x, scale, bias, w1, b1, w2, b2, None, 1e-5)
+    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_kernel_chunked_hidden(monkeypatch):
+    """Hidden-dim tiling (n_chunks > 1) accumulates correctly."""
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    monkeypatch.setattr(MB, "_pick_tiles", lambda rows, C, H, i, budget=0: (16, H // 4))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32))
+    args = [jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+            for s in [64, 64, (64, 256), 256, (256, 64), 64]]
+    got = MB.fused_ln_mlp_residual(x, *args)
+    ref = MB._xla_reference(x, *args, None, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_fused_mlp_parity():
+    """SwinTransformer3D(fused_mlp=True) == default, same param tree."""
+    cfg = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2), embed_dim=16,
+                     depths=(1, 1), num_heads=(2, 2), window_size=(2, 2, 2),
+                     drop_path_rate=0.0)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 2, 8, 8, 3)),
+                    jnp.float32)
+    model = SwinTransformer3D(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    fused = SwinTransformer3D(dataclasses.replace(cfg, fused_mlp=True))
+    params_f = fused.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params_f)
+            == jax.tree_util.tree_structure(params))
+    out = fused.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_fused_mlp_grads():
+    cfg = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2), embed_dim=8,
+                     depths=(1,), num_heads=(2,), window_size=(2, 2, 2),
+                     drop_path_rate=0.0, fused_mlp=True)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 2, 4, 4, 3)),
+                    jnp.float32)
+    model = SwinTransformer3D(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    blk = grads["stage_0_block_0"]
+    assert float(np.abs(np.asarray(blk["mlp"]["fc1"]["kernel"])).max()) > 0
+    assert float(np.abs(np.asarray(blk["norm2"]["scale"])).max()) > 0
