@@ -44,7 +44,7 @@ def bench_train():
     B = int(os.environ.get("BENCH_BATCH", 8))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 8))
-    ATTN = os.environ.get("BENCH_ATTN", "xla")
+    ATTN = os.environ.get("BENCH_ATTN", "xla_headloop")
     S, L = 224, 30
 
     cfg = PretrainConfig(
@@ -134,12 +134,13 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 16))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
-    ATTN = os.environ.get("BENCH_ATTN", "xla")   # xla|pallas|fused_block
+    ATTN = os.environ.get("BENCH_ATTN", "xla_headloop")
     S = 224
 
     cfg = FinetuneConfig(
         swin=SwinConfig.base(
             attention_impl=ATTN,
+            embed_impl=os.environ.get("BENCH_EMBED", "conv"),
             fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla"),
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),

@@ -60,7 +60,15 @@ class SwinConfig:
     # keeps the memory win where activations are large (early stages)
     # without recomputing the 18-block stage 3
     use_checkpoint: Any = False
-    attention_impl: str = "xla"      # 'xla' | 'pallas' (fused VMEM kernel)
+    # 'xla_headloop' (default): per-head lane slices of the flat qkv — no
+    # head-layout relayout copy; measured +10% eval vs 'xla' on v5e.
+    # 'xla': batched einsum reference. 'pallas'/'fused_block': VMEM-fused
+    # kernels, measured slower on this workload (see BASELINE.md).
+    attention_impl: str = "xla_headloop"
+    # 'conv' (default): XLA conv lowering of the patch embed — avoids the
+    # tiny-trailing-dim space-to-depth transposes (+4% eval). 's2d':
+    # space-to-depth + matmul. Identical Dense param layout either way.
+    embed_impl: str = "conv"
     # sequence parallelism (capability beyond the DP-only reference,
     # SURVEY.md §5.7): per-dim mesh-axis names for the (B, D, H, W, C)
     # block activations, e.g. ('data', None, 'sp', None, None) shards the
@@ -253,14 +261,38 @@ class WindowAttention3D(nn.Module):
 
         Bn, N, C = x.shape
 
-        qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                    name="qkv")(x)
-        qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, nH, hd)
+        qkv_flat = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="qkv")(x)
 
         rp_index = relative_position_index(self.full_window, eff_window)
         bias = bias_table[rp_index.reshape(-1)].reshape(N, N, self.num_heads)
         bias = bias.transpose(2, 0, 1)                    # (nH, N, N) fp32
+
+        if self.attention_impl == "xla_headloop" and self.attn_drop == 0.0:
+            # per-head lane slices of the flat (Bn, N, 3C) qkv instead of
+            # the 5-D head-layout reshape — avoids the qkv relayout copy
+            hd = head_dim
+            outs = []
+            for h in range(self.num_heads):
+                q_h = qkv_flat[:, :, h * hd:(h + 1) * hd]
+                k_h = qkv_flat[:, :, C + h * hd:C + (h + 1) * hd]
+                v_h = qkv_flat[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+                logits = jnp.einsum("bqd,bkd->bqk", q_h * scale, k_h)
+                logits = logits + bias[h][None].astype(logits.dtype)
+                if attn_mask is not None:
+                    nW = attn_mask.shape[0]
+                    logits = logits.reshape(Bn // nW, nW, N, N)
+                    logits = logits + attn_mask[None].astype(logits.dtype)
+                    logits = logits.reshape(Bn, N, N)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                probs = probs.astype(self.dtype)
+                outs.append(jnp.einsum("bqk,bkd->bqd", probs, v_h))
+            out = jnp.concatenate(outs, axis=-1)
+            out = dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+
+        qkv = qkv_flat.reshape(Bn, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (Bn, N, nH, hd)
 
         if self.attention_impl == "pallas" and self.attn_drop == 0.0:
             from clover_tpu.ops.window_attention import fused_window_attention
@@ -505,11 +537,24 @@ class PatchEmbed3D(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)))
             D, H, W = D + pad[0], H + pad[1], W + pad[2]
 
-        if cfg.patch_size == cfg.stride:
+        if cfg.patch_size == cfg.stride and cfg.embed_impl == "s2d":
             x = x.reshape(B, D // pd, pd, H // ph, ph, W // pw, pw, C)
             x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
             x = x.reshape(B, D // pd, H // ph, W // pw, pd * ph * pw * C)
             x = dense(cfg.embed_dim, dtype=self.dtype, name="proj")(x)
+        elif cfg.patch_size == cfg.stride:
+            # conv lowering of the same projection (embed_impl='conv'):
+            # identical Dense param layout — the (pd*ph*pw*C, E) kernel is
+            # viewed as a DHWIO conv kernel, so checkpoints interchange
+            proj = dense(cfg.embed_dim, dtype=self.dtype, name="proj")
+            _ = proj(x[:1, :pd, :ph, :pw].reshape(1, 1, 1, 1, -1))
+            p = self.scope.get_variable("params", "proj")
+            kern = p["kernel"].reshape(pd, ph, pw, C, cfg.embed_dim)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kern.astype(self.dtype),
+                window_strides=cfg.stride, padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            ) + p["bias"].astype(self.dtype)
         else:
             x = nn.Conv(
                 cfg.embed_dim, kernel_size=cfg.patch_size, strides=cfg.stride,
