@@ -143,6 +143,7 @@ def build_loader(dataset, loader_cfg: Dict[str, Any], test: bool = False,
         drop_last=not test,
         seed=seed,
         prefetch=cfg.get("prefetch", 2),
+        worker_type=cfg.get("worker_type", "thread"),
     )
 
 

@@ -8,15 +8,21 @@ with a lean host pipeline:
   rank-strided subsampling — same contract as the reference sampler, used
   for multi-host sharding (one process per host; within a host pjit
   shards the global batch over local devices).
-- DataLoader: thread-pool sample fetch + bounded prefetch queue. Decode
-  and cv2 resize release the GIL in C++, so threads overlap well; a
-  process-pool backend can slot in later for pure-python-heavy pipelines.
+- DataLoader: worker-pool sample fetch + bounded prefetch queue. Two
+  backends: ``worker_type='thread'`` (default — decode and cv2 resize
+  release the GIL in C++, so threads overlap well) and
+  ``worker_type='process'`` (fork-based pool for pure-python-heavy
+  pipelines, e.g. tokenization/masking-dominated text work; the dataset
+  is inherited by fork, so nothing is pickled per task except indices
+  out and sample arrays back — the analogue of torch's worker
+  processes, datasets/builder.py:27-126).
 - prefetch_to_device: keeps N batches in flight on the mesh (double
   buffering), the jax analogue of pin_memory+non_blocking copies.
 """
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -25,6 +31,15 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from clover_tpu.parallel.mesh import shard_batch_pytree
+
+# fork-inherited dataset registry for process workers (set pre-fork in the
+# parent; children read it without any per-task pickling)
+_WORKER_DATASETS: Dict[int, Any] = {}
+
+
+def _process_fetch(args):
+    ds_key, idx = args
+    return _WORKER_DATASETS[ds_key][int(idx)]
 
 
 class ShardedSampler:
@@ -108,12 +123,15 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         collate_fn=default_collate,
+        worker_type: str = "thread",     # 'thread' | 'process'
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.collate_fn = collate_fn
+        self.worker_type = worker_type
+        self._pool = None
         self.sampler = ShardedSampler(
             len(dataset), rank=rank, world_size=world_size, shuffle=shuffle,
             seed=seed, drop_last=drop_last, batch_size=batch_size)
@@ -125,13 +143,19 @@ class DataLoader:
             return per_rank // self.batch_size
         return (per_rank + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self, epoch: int) -> List[np.ndarray]:
         indices = self.sampler.indices(epoch)
-        n_batches = len(self)
-        batches = [
+        return [
             indices[i * self.batch_size:(i + 1) * self.batch_size]
-            for i in range(n_batches)
+            for i in range(len(self))
         ]
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        if self.worker_type == "process":
+            yield from self._epoch_process(epoch)
+            return
+        batches = self._batches(epoch)
+        n_batches = len(batches)
 
         def fetch_batch(batch_idx: np.ndarray) -> Dict[str, np.ndarray]:
             return self.collate_fn([self.dataset[int(i)] for i in batch_idx])
@@ -149,6 +173,46 @@ class DataLoader:
                 except StopIteration:
                     pass
                 yield fut.result()
+
+    def _get_pool(self):
+        if self._pool is None:
+            key = id(self.dataset)
+            _WORKER_DATASETS[key] = self.dataset   # pre-fork: inherited
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers)
+            self._ds_key = key
+        return self._pool
+
+    def _epoch_process(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        pool = self._get_pool()
+        batches = self._batches(epoch)
+        inflight: List = []
+        it = iter(batches)
+        for _ in range(min(self.prefetch + 1, len(batches))):
+            idxs = next(it)
+            inflight.append(pool.map_async(
+                _process_fetch, [(self._ds_key, int(i)) for i in idxs]))
+        while inflight:
+            res = inflight.pop(0)
+            try:
+                idxs = next(it)
+                inflight.append(pool.map_async(
+                    _process_fetch, [(self._ds_key, int(i)) for i in idxs]))
+            except StopIteration:
+                pass
+            yield self.collate_fn(res.get())
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __iter__(self):
         return self.epoch(0)

@@ -34,6 +34,37 @@ def make_mesh(
     return Mesh(mesh_devices, axis_names)
 
 
+def make_hybrid_mesh(
+    ici_axis_sizes: Sequence[int],
+    axis_names: Sequence[str] = ("data", "fsdp", "model", "sp"),
+    dcn_data_parallel: Optional[int] = None,
+) -> Mesh:
+    """Multi-slice mesh: data parallelism over DCN, everything else on ICI.
+
+    Follows the standard TPU multi-slice recipe (scaling-book): the slowest
+    collective axis (pure data parallelism — one gradient psum per step)
+    rides the data-center network between slices, while fsdp/tensor/sequence
+    axes stay inside a slice on ICI. ``dcn_data_parallel`` defaults to the
+    number of slices (jax.process/device slice_index); falls back to a flat
+    single-slice mesh when slice information is unavailable (CPU, 1 slice).
+    """
+    devices = jax.devices()
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    n_slices = dcn_data_parallel or len(slice_ids)
+    if n_slices <= 1:
+        sizes = list(ici_axis_sizes)
+        return make_mesh(axis_sizes=sizes, axis_names=axis_names[:len(sizes)],
+                         devices=devices[: int(np.prod(sizes))])
+    from jax.experimental import mesh_utils
+
+    per_slice = list(ici_axis_sizes)
+    dcn = [n_slices] + [1] * (len(per_slice) - 1)
+    # result shape = elementwise product -> (n_slices*data_ici, fsdp, ...)
+    mesh_devices = mesh_utils.create_hybrid_device_mesh(
+        per_slice, dcn, devices=devices)
+    return Mesh(mesh_devices, axis_names[: mesh_devices.ndim])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data", ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) dim over ``axis``, replicate the rest."""
     spec = [axis] + [None] * (ndim - 1)

@@ -184,3 +184,24 @@ def test_test_mode_expands_captions():
     s = ds[7]
     assert s["video_index"] == 7 // 3
     assert len(ds.text_video_ids) == 5
+
+
+def test_process_pool_loader_matches_thread_loader():
+    """worker_type='process' yields identical batches (fork-inherited
+    dataset, deterministic per-index rng)."""
+    from clover_tpu.data.datasets import make_synthetic_retrieval_dataset
+    from clover_tpu.data.loader import DataLoader
+
+    ds = make_synthetic_retrieval_dataset(n_videos=8, num_frames=2,
+                                          canonical_size=32)
+    t_loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                          seed=3, worker_type="thread")
+    p_loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                          seed=3, worker_type="process")
+    try:
+        for tb, pb in zip(t_loader.epoch(1), p_loader.epoch(1)):
+            assert set(tb) == set(pb)
+            for k in tb:
+                np.testing.assert_array_equal(tb[k], pb[k])
+    finally:
+        p_loader.close()

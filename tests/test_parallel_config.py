@@ -139,3 +139,13 @@ def test_train_cli_with_parallel_section(tmp_path):
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(work_dir, "metrics.jsonl"))
+
+
+def test_make_hybrid_mesh_single_slice_fallback():
+    """Without slice metadata (CPU devices) the hybrid mesh degrades to a
+    flat ICI mesh with the requested axis sizes."""
+    from clover_tpu.parallel.mesh import make_hybrid_mesh
+
+    m = make_hybrid_mesh((2, 2, 2, 1))
+    assert dict(zip(m.axis_names, m.devices.shape)) == {
+        "data": 2, "fsdp": 2, "model": 2, "sp": 1}

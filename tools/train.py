@@ -28,6 +28,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend (debug/CI)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host/multi-slice: call jax.distributed."
+                        "initialize() before device init (coordinator "
+                        "auto-detected on TPU pods, or set JAX_COORDINATOR_"
+                        "ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of training into DIR")
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -40,6 +45,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        # one process per host; TPU pods auto-detect coordinator/topology,
+        # other platforms read the JAX_* env vars (see docs/SCALING.md)
+        import jax
+
+        jax.distributed.initialize()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -94,9 +105,19 @@ def main():
     while batch_size % data_axis:
         data_axis -= 1
     n_used = data_axis * nondata
-    mesh = make_mesh(axis_sizes=(data_axis, fsdp_size, model_size, seq_size),
-                     axis_names=("data", "fsdp", "model", "sp"),
-                     devices=jax.devices()[:n_used])
+    slice_ids = {getattr(d, "slice_index", 0) for d in jax.devices()}
+    if len(slice_ids) > 1 and n_used == n_dev:
+        # multi-slice pod: data parallelism over DCN, fsdp/tp/sp on ICI
+        from clover_tpu.parallel.mesh import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(
+            (data_axis // len(slice_ids), fsdp_size, model_size, seq_size),
+            axis_names=("data", "fsdp", "model", "sp"))
+    else:
+        mesh = make_mesh(
+            axis_sizes=(data_axis, fsdp_size, model_size, seq_size),
+            axis_names=("data", "fsdp", "model", "sp"),
+            devices=jax.devices()[:n_used])
     logger.info("devices: %s, mesh axes %s", n_dev,
                 dict(zip(mesh.axis_names, mesh.devices.shape)))
     if seq_size > 1:
