@@ -44,7 +44,7 @@ def bench_train():
     B = int(os.environ.get("BENCH_BATCH", 8))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 8))
-    ATTN = os.environ.get("BENCH_ATTN", "xla_headloop")
+    ATTN = os.environ.get("BENCH_ATTN", "auto")
     S, L = 224, 30
 
     cfg = PretrainConfig(
@@ -54,6 +54,7 @@ def bench_train():
                                  os.environ.get("BENCH_REMAT", "1"),
                                  tuple(int(s) for s in os.environ.get(
                                      "BENCH_REMAT", "1").split(",")))),
+        share_embed=os.environ.get("BENCH_SHARE_EMBED", "1") == "1",
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
                             img_in_size=1024, num_frames=T // 2,
@@ -134,7 +135,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 16))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
-    ATTN = os.environ.get("BENCH_ATTN", "xla_headloop")
+    ATTN = os.environ.get("BENCH_ATTN", "auto")
     S = 224
 
     cfg = FinetuneConfig(

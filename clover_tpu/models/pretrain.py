@@ -50,6 +50,11 @@ class PretrainConfig:
     # all-zero mask is the identity). Halves kernel launches and doubles
     # the MXU batch; the sequential path is kept for A/B and goldens.
     batch_passes: bool = True
+    # with batch_passes, run the Swin patch embed ONCE on B and duplicate
+    # the embedded tokens into the 2B encode batch — the clean and masked
+    # passes see identical pixels and only diverge at the SimMIM mask
+    # mixing, which happens after the embed (exact, not an approximation)
+    share_embed: bool = True
 
 
 class CloverPretrain(nn.Module):
@@ -112,11 +117,18 @@ class CloverPretrain(nn.Module):
         if cfg.batch_passes:
             # ONE 2B Swin pass: [clean; masked] with an all-zero mask for
             # the clean half (identity under the SimMIM mixing)
-            both_imgs = jnp.concatenate([imgs, imgs], axis=0)
             both_mask = jnp.concatenate(
                 [jnp.zeros_like(v_token_mask), v_token_mask], axis=0)
-            both_feat, _ = self.backbone(both_imgs, both_mask,
-                                         deterministic=det)
+            if cfg.share_embed:
+                # embed once on B; the passes only diverge at the mask mixing
+                tokens = self.backbone(imgs, deterministic=det, mode="embed")
+                both_tokens = jnp.concatenate([tokens, tokens], axis=0)
+                both_feat, _ = self.backbone(both_tokens, both_mask,
+                                             deterministic=det, mode="encode")
+            else:
+                both_imgs = jnp.concatenate([imgs, imgs], axis=0)
+                both_feat, _ = self.backbone(both_imgs, both_mask,
+                                             deterministic=det)
             B = imgs.shape[0]
             visual_feat, visual_feat_masked = both_feat[:B], both_feat[B:]
             # ONE 2B BERT pass: [clean; masked] text

@@ -60,11 +60,19 @@ class SwinConfig:
     # keeps the memory win where activations are large (early stages)
     # without recomputing the 18-block stage 3
     use_checkpoint: Any = False
-    # 'xla_headloop' (default): per-head lane slices of the flat qkv — no
-    # head-layout relayout copy; measured +10% eval vs 'xla' on v5e.
-    # 'xla': batched einsum reference. 'pallas'/'fused_block': VMEM-fused
-    # kernels, measured slower on this workload (see BASELINE.md).
-    attention_impl: str = "xla_headloop"
+    # 'auto' (default) resolves per call: deterministic (eval / fwd-only)
+    # -> 'pallas_flat'; training -> 'xla_headloop'.
+    # 'pallas_flat': fused VMEM kernel on the un-relayouted qkv — bf16 MXU
+    # dots with fp32 accumulation, head slicing at static lane offsets,
+    # logits never touch HBM; measured 423-425 vs 368-371 clips/s eval on
+    # v5e (+15% over 'xla_headloop'), but 30.9 vs 31.7 on the train step
+    # (the custom-vjp XLA recompute eats the fwd win) — hence 'auto'. XLA
+    # fallback off-TPU and for long windows (N>256, measured slower).
+    # 'xla_headloop': per-head lane slices of the flat qkv, no relayout
+    # copy (+10% over 'xla'). 'xla': batched einsum reference.
+    # 'pallas'/'fused_block': earlier fp32-dot kernels, slower (they fed
+    # the MXU fp32 — see BASELINE.md kernel log).
+    attention_impl: str = "auto"
     # 'conv' (default): XLA conv lowering of the patch embed — avoids the
     # tiny-trailing-dim space-to-depth transposes (+4% eval). 's2d':
     # space-to-depth + matmul. Identical Dense param layout either way.
@@ -268,6 +276,22 @@ class WindowAttention3D(nn.Module):
         bias = bias_table[rp_index.reshape(-1)].reshape(N, N, self.num_heads)
         bias = bias.transpose(2, 0, 1)                    # (nH, N, N) fp32
 
+        if self.attention_impl == "pallas_flat" and self.attn_drop == 0.0:
+            # fused kernel on the UN-relayouted qkv: head slicing happens in
+            # VMEM and the (Bn, nH, N, N) logits never touch HBM; falls back
+            # to equivalent XLA math off-TPU / when VMEM-infeasible
+            from clover_tpu.ops.window_attention import flat_window_attention
+
+            if attn_mask is not None:
+                nW = attn_mask.shape[0]
+                flat_mask = attn_mask.astype(jnp.float32)
+            else:
+                flat_mask = None
+            out = flat_window_attention(qkv_flat, bias, flat_mask, scale,
+                                        self.num_heads)
+            out = dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+
         if self.attention_impl == "xla_headloop" and self.attn_drop == 0.0:
             # per-head lane slices of the flat (Bn, N, 3C) qkv instead of
             # the 5-D head-layout reshape — avoids the qkv relayout copy
@@ -345,8 +369,14 @@ class SwinBlock3D(nn.Module):
     fused_mlp: bool = False
     dtype: Dtype = jnp.float32
 
+    def _resolve_impl(self, deterministic: bool) -> str:
+        if self.attention_impl != "auto":
+            return self.attention_impl
+        return "pallas_flat" if deterministic else "xla_headloop"
+
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        impl = self._resolve_impl(deterministic)
         x = constrain_activation(x, self.act_sharding)
         B, D, H, W, C = x.shape
         window, shift = effective_window((D, H, W), self.window_size, self.shift_size)
@@ -356,7 +386,7 @@ class SwinBlock3D(nn.Module):
         pad_w = (-W) % window[2]
         drops_now_off = deterministic or (
             self.drop == 0.0 and self.drop_path == 0.0)
-        if (self.attention_impl == "fused_block" and self.attn_drop == 0.0
+        if (impl == "fused_block" and self.attn_drop == 0.0
                 and drops_now_off and not (pad_d or pad_h or pad_w)):
             x = self._fused_attn_half(x, window, shift, deterministic)
             return self._mlp_half(x, deterministic)
@@ -378,9 +408,9 @@ class SwinBlock3D(nn.Module):
         attn_module = WindowAttention3D(
             self.dim, self.window_size, self.num_heads, qkv_bias=self.qkv_bias,
             qk_scale=self.qk_scale, attn_drop=self.attn_drop, proj_drop=self.drop,
-            attention_impl=self.attention_impl, dtype=self.dtype, name="attn",
+            attention_impl=impl, dtype=self.dtype, name="attn",
         )
-        if self.attention_impl == "pallas_fused" and self.attn_drop == 0.0:
+        if impl == "pallas_fused" and self.attn_drop == 0.0:
             N = window[0] * window[1] * window[2]
             mask_grid = None
             if attn_mask is not None:
@@ -575,6 +605,14 @@ class SwinTransformer3D(nn.Module):
                    (reference mask-token mixing, :222-230) or None
     Returns (B, T', H', W', num_features) features, plus the broadcast mask
     weights when token_mask is given.
+
+    ``mode`` splits the graph at the patch embedding so callers that run the
+    same pixels through the backbone twice (the pretrain clean+masked video
+    passes, reference multimodal_transformer_pretrain.py:91,114) can embed
+    once and encode a 2B token batch:
+      'full'   — embed + encode (default; the only mode other callers use)
+      'embed'  — patch embed only, returns (B, T', H', W', embed_dim) tokens
+      'encode' — input is already-embedded tokens; mask mixing onward
     """
 
     config: SwinConfig = SwinConfig()
@@ -587,10 +625,16 @@ class SwinTransformer3D(nn.Module):
         token_mask: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
+        mode: str = "full",
     ):
         cfg = self.config
-        x = PatchEmbed3D(cfg, dtype=self.dtype, name="patch_embed")(x)
-        x = constrain_activation(x, cfg.act_sharding)
+        if mode in ("full", "embed"):
+            x = PatchEmbed3D(cfg, dtype=self.dtype, name="patch_embed")(x)
+            x = constrain_activation(x, cfg.act_sharding)
+            if mode == "embed":
+                return x
+        else:
+            x = constrain_activation(x, cfg.act_sharding)
 
         if cfg.mask_token:
             # created unconditionally so init without a mask still owns it

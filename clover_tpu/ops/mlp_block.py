@@ -82,15 +82,18 @@ def _kernel_scaled(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 import os as _os
 
 _TILE_OVERRIDE = _os.environ.get("CLOVER_MLP_TILES")  # "R,Hc" experiment knob
+_MLP_VMEM_BUDGET = int(_os.environ.get("CLOVER_MLP_VMEM_MB", "6")) * 2 ** 20
 
 
 def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
-                budget: int = 6 * 2 ** 20):
+                budget: int = None):
     """(R, Hc): row block and hidden chunk fitting VMEM (weights are
     double-buffered by Mosaic; activations live once per step).
 
     Prefers the combination with the largest row block (MXU pipelining
     over M), breaking ties toward larger hidden chunks (fewer passes)."""
+    if budget is None:
+        budget = _MLP_VMEM_BUDGET
     if _TILE_OVERRIDE:
         r, hc = (int(v) for v in _TILE_OVERRIDE.split(","))
         return r, min(hc, H)

@@ -213,7 +213,10 @@ def _forward_v2(q, k, v, bias, mask, scale, version="v2"):
             cost_estimate=cost,
             interpret=_interpret(),
         )(q, k, v, bias)
-    mask_spec = pl.BlockSpec((W, N, N), lambda i: ((i * W) % nW, 0, 0),
+    # index_map returns BLOCK indices (element offset = index * block dim):
+    # block j of W windows covers masks [j*W, (j+1)*W), and window-block i
+    # starts at window i*W whose mask offset is (i*W) % nW -> block i % (nW//W)
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(kern_masked, scale=scale, nH=nH),
@@ -438,6 +441,207 @@ def _spatial_bwd(window, scale, residuals, g):
 
 
 spatial_window_attention.defvjp(_spatial_fwd, _spatial_bwd)
+
+
+# ---------------------------------------------------------------- flat v5
+# Lessons from v1-v4 (BASELINE.md kernel log): (a) they lost to XLA because
+# they cast q/k/v to fp32 BEFORE the dots — fp32 MXU throughput is ~8x below
+# bf16-with-fp32-accumulate (the winning fused-MLP kernel feeds bf16); (b)
+# the (Bn, N, 3C) -> (Bn, nH, N, hd) head relayout they required is itself
+# ~10% of step time (why 'xla_headloop' beat 'xla'). v5 fixes both: it takes
+# the flat qkv STRAIGHT from the dense output, slices heads in VMEM at
+# static lane offsets (python-unrolled head loop, no HBM relayout), keeps
+# dots in the input dtype with fp32 accumulation, and fuses bias+mask+softmax
+# so the (Bn, nH, N, N) logits never touch HBM. bias/mask ride in the
+# compute dtype (the XLA paths also add them in bf16) so the all-heads bias
+# block fits VMEM up to stage 4 of Swin-B.
+
+
+def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
+    C = nH * hd
+    for h in range(nH):                              # static offsets
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd]       # (W, N, hd) input dtype
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale   # (W, N, N) f32 acc
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(qkv_ref.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+
+
+def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
+                             scale, nH, hd):
+    C = nH * hd
+    for h in range(nH):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd]
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        logits = (logits + bias_ref[h][None].astype(jnp.float32)
+                  + mask_ref[:].astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1).astype(qkv_ref.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+
+
+def _pad_to(n: int, to: int) -> int:
+    return -(-n // to) * to
+
+
+import os as _os
+
+# measured on the eval workload (BASELINE.md): 7 MB -> 392 clips/s,
+# 12 -> 420, 14-16 -> 425.5 (plateau; estimates are conservative enough
+# that even 16 compiles) — default to the plateau's low edge
+_FLAT_VMEM_BUDGET = int(_os.environ.get("CLOVER_WA_VMEM_MB", "14")) * 2 ** 20
+# long-context gate: at N=392 (32-frame eval) the feasible W shrinks to 1-2
+# and the kernel measured 41 clips/s vs 58 for the XLA head-loop math (and
+# W=4 at 14 MB hit a TPU runtime fault); a key-tiled flash variant is the
+# follow-up — until then windows longer than this use the XLA path
+_FLAT_MAX_N = int(_os.environ.get("CLOVER_WA_MAX_N", "256"))
+
+
+def _pick_window_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
+                            nW: Optional[int]) -> int:
+    """Per-program VMEM with tile padding: double-buffered qkv/out/mask
+    blocks, resident all-heads bias (dtype), one head's fp32 logits +
+    dtype probs live at a time."""
+    C = nH * hd
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    for w in (64, 32, 16, 8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize   # qkv x2
+                + 2 * w * Np_s * _pad_to(C, 128) * itemsize     # out x2
+                + 2 * nH * Np_s * Np_l * itemsize               # bias x2
+                + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                + w * Np_s * Np_l * (4 + itemsize)              # logits+probs
+                + Np_s * Np_l * 4                               # bias f32 copy
+                + (w * Np_s * Np_l * 4 if nW is not None else 0))  # mask f32
+        if need <= _FLAT_VMEM_BUDGET:
+            return w
+    return 0
+
+
+def _forward_flat(qkv, bias, mask, scale, num_heads):
+    """qkv (Bn, N, 3C) -> (Bn, N, C); bias (nH, N, N); mask (nW, N, N)|None.
+    bias/mask are cast to qkv.dtype for the VMEM-resident blocks."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    nW = None if mask is None else mask.shape[0]
+    W = (_pick_window_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+         if N <= _FLAT_MAX_N else 0)
+    if W == 0:
+        return _xla_flat_reference(qkv, bias, mask, scale, num_heads)
+    qkv_spec = pl.BlockSpec((W, N, 3 * C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((W, N, C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=2 * qkv.size * qkv.dtype.itemsize
+        + num_heads * N * N * qkv.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd)
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bn, N, C), qkv.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, bias.astype(qkv.dtype))
+    # BLOCK index semantics (element offset = index * block dim); see the
+    # same-named comment in _forward_v2 — i % (nW // W), NOT (i*W) % nW
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat_masked, **kwargs),
+        grid=(Bn // W,),
+        in_specs=[qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, N, C), qkv.dtype),
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
+
+
+def _xla_flat_reference(qkv, bias, mask, scale, num_heads):
+    """XLA math for the flat kernel (bwd recompute, CPU path, fallback).
+
+    Matches 'xla_headloop' exactly, including logits staying in the input
+    dtype: materializing fp32 logits in HBM was measured SLOWER (36.5 vs
+    57.8 clips/s at 32-frame eval — double the traffic of the step's
+    dominant tensor), the same anti-optimization BASELINE.md records for
+    the batched-einsum path."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jnp.einsum("bqd,bkd->bqk", q * scale, k)
+        logits = logits + bias[h][None].astype(logits.dtype)
+        if mask is not None:
+            nW = mask.shape[0]
+            logits = (logits.reshape(Bn // nW, nW, N, N)
+                      + mask[None].astype(logits.dtype))
+            logits = logits.reshape(Bn, N, N)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = probs.astype(qkv.dtype)
+        outs.append(jnp.einsum("bqk,bkd->bqd", probs, v))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flat_window_attention(qkv, bias, mask, scale, num_heads):
+    """softmax(q·kᵀ·scale + bias (+mask)) · v from FLAT qkv (Bn, N, 3C).
+
+    Head slicing happens in VMEM; logits never touch HBM; dots run in the
+    input dtype with fp32 accumulation (matching 'xla_headloop' numerics).
+    Returns (Bn, N, C) in qkv.dtype.
+    """
+    return _forward_flat(qkv, bias, mask, scale, num_heads)
+
+
+def _flat_fwd(qkv, bias, mask, scale, num_heads):
+    return _forward_flat(qkv, bias, mask, scale, num_heads), (qkv, bias, mask)
+
+
+def _flat_bwd(scale, num_heads, residuals, g):
+    qkv, bias, mask = residuals
+    if mask is None:
+        _, vjp = jax.vjp(
+            lambda a, b: _xla_flat_reference(a, b, None, scale, num_heads),
+            qkv, bias)
+        dq, db = vjp(g)
+        return dq, db, None
+    _, vjp = jax.vjp(
+        lambda a, b, m: _xla_flat_reference(a, b, m, scale, num_heads),
+        qkv, bias, mask)
+    return vjp(g)
+
+
+flat_window_attention.defvjp(_flat_fwd, _flat_bwd)
 
 
 import os

@@ -250,3 +250,23 @@ def test_pretrain_batched_passes_match_sequential(pretrain_setup):
         np.testing.assert_allclose(
             np.asarray(out_b[k]), np.asarray(out_s[k]),
             rtol=2e-5, atol=2e-5, err_msg=k)
+
+
+def test_pretrain_shared_embed_matches_unshared(pretrain_setup):
+    """share_embed=True (patch embed once on B, encode on 2B) must be exact
+    vs the 2B-embed path — the passes share pixels until the mask mixing."""
+    import dataclasses
+
+    cfg, model, params, batch = pretrain_setup
+    unshared = CloverPretrain(dataclasses.replace(cfg, share_embed=False))
+    out_shared = model.apply({"params": params}, batch, train=False)
+    out_unshared = unshared.apply({"params": params}, batch, train=False)
+    assert set(out_shared) == set(out_unshared)
+    for k in out_unshared:
+        np.testing.assert_allclose(
+            np.asarray(out_shared[k]), np.asarray(out_unshared[k]),
+            rtol=1e-6, atol=1e-6, err_msg=k)
+    # init with the shared path yields the identical param tree
+    p2 = model.init(jax.random.PRNGKey(0), batch, train=False)["params"]
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))

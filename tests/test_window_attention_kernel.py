@@ -60,7 +60,89 @@ def test_kernel_gradients_match_xla(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_fused"])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_flat_kernel_matches_xla(rng, with_mask):
+    """flat v5 kernel (head slicing in VMEM from the un-relayouted qkv)."""
+    from clover_tpu.ops.window_attention import flat_window_attention
+
+    Bn, nH, N, hd = 8, 2, 12, 16
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = None
+    if with_mask:
+        m = np.where(rng.random((4, N, N)) < 0.3, -100.0, 0.0)
+        mask = jnp.asarray(m.astype(np.float32))
+    scale = hd ** -0.5
+    out = flat_window_attention(qkv, bias, mask, scale, nH)
+    # reference: relayout to heads and use the einsum math
+    x = qkv.reshape(Bn, N, 3, nH, hd)
+    q, k, v = (x[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ref = _xla_reference(q, k, v, bias, mask, scale)
+    ref = ref.transpose(0, 2, 1, 3).reshape(Bn, N, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flat_kernel_masked_block_smaller_than_nW(rng, monkeypatch):
+    """Regression: BlockSpec index maps take BLOCK indices, not element
+    offsets — with a window block W smaller than the window count nW the
+    old map read the wrong (even out-of-bounds) mask blocks, NaN on TPU."""
+    import clover_tpu.ops.window_attention as wa
+
+    Bn, nH, N, hd, nW = 32, 2, 12, 16, 8
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.random((nW, N, N)) < 0.3, -100.0, 0.0).astype(np.float32))
+    scale = hd ** -0.5
+    ref = wa._xla_flat_reference(qkv, bias, mask, scale, nH)
+    for W in (nW, 4, 2):        # W == nW and W < nW block shapes
+        monkeypatch.setattr(wa, "_pick_window_block_flat",
+                            lambda *a, **k: W)
+        out = wa.flat_window_attention(qkv, bias, mask, scale, nH)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, err_msg=f"W={W}")
+    # and the v2/v4 layouts with W < nW
+    x = qkv.reshape(Bn, N, 3, nH, hd)
+    q, k, v = (x[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ref4 = _xla_reference(q, k, v, bias, mask, scale)
+    monkeypatch.setattr(wa, "_pick_window_block", lambda *a, **k: 4)
+    monkeypatch.setattr(wa, "_pick_window_block_v4", lambda *a, **k: 4)
+    for version in ("v2", "v4"):
+        out4 = wa._forward_v2(q, k, v, bias, mask, scale, version=version)
+        np.testing.assert_allclose(np.asarray(out4), np.asarray(ref4),
+                                   atol=2e-5, err_msg=version)
+
+
+def test_flat_kernel_gradients_match_xla(rng):
+    from clover_tpu.ops.window_attention import flat_window_attention
+
+    Bn, nH, N, hd = 4, 2, 8, 8
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.random((2, N, N)) < 0.3, -100.0, 0.0).astype(np.float32))
+    scale = hd ** -0.5
+
+    def loss_fused(qkv, bias, mask):
+        return jnp.sum(flat_window_attention(qkv, bias, mask, scale, nH) ** 2)
+
+    def loss_ref(qkv, bias, mask):
+        x = qkv.reshape(Bn, N, 3, nH, hd)
+        q, k, v = (x[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        out = _xla_reference(q, k, v, bias, mask, scale)
+        return jnp.sum(out.transpose(0, 2, 1, 3).reshape(Bn, N, C) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, bias, mask)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, bias, mask)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_fused", "pallas_flat"])
 def test_swin_backbone_pallas_matches_xla(rng, impl):
     """Full backbone parity between attention_impl settings."""
     import dataclasses
@@ -77,7 +159,7 @@ def test_swin_backbone_pallas_matches_xla(rng, impl):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["pallas", "pallas_fused"])
+@pytest.mark.parametrize("impl", ["pallas", "pallas_fused", "pallas_flat"])
 def test_swin_backbone_pallas_grads_match_xla(rng, impl):
     import dataclasses
 
