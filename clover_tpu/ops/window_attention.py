@@ -544,6 +544,10 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
     W = (_pick_window_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
          if N <= _FLAT_MAX_N else 0)
     if W == 0:
+        if _LONG_ENABLED:
+            out = _forward_long_from_flat(qkv, bias, mask, scale, num_heads)
+            if out is not None:
+                return out
         return _xla_flat_reference(qkv, bias, mask, scale, num_heads)
     qkv_spec = pl.BlockSpec((W, N, 3 * C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -581,6 +585,178 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
         cost_estimate=cost,
         interpret=_interpret(),
     )(qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
+
+
+# ----------------------------------------------------------- long/flash v6
+# Key-tiled flash variant for long windows (N=392 at 32-frame eval) where
+# v5's all-keys blocks don't fit VMEM: iterate 128-wide key tiles with a
+# running max / denominator / accumulator (standard flash recurrence), so
+# per-program live memory is O(N * Tk) instead of O(nH * N * N). Uses the
+# (Bn, nH, N, hd) head layout — the one relayout is far cheaper than the
+# (Bn, nH, N, N) logits HBM traffic it saves at this N.
+#
+# MEASURED SLOWER at this workload: 32.6 vs 57.9 clips/s (32-frame eval)
+# against the XLA head-loop fallback — hd=32 pads to 128 lanes in every
+# per-head q/k/v/acc block (4x fetch+compute waste) and the running-softmax
+# VPU work repeats per key tile; XLA's batched dots win at N=392. Kept as
+# an opt-in (CLOVER_WA_LONG=1) measured experiment / starting point for a
+# head-packed variant; see BASELINE.md.
+
+_LONG_TK = 128
+_LONG_ENABLED = _os.environ.get("CLOVER_WA_LONG", "0") == "1"
+
+
+def _attn_kernel_long(q_ref, k_ref, v_ref, bias_ref, out_ref,
+                      m_ref, l_ref, acc_ref, *, scale, n_k, n_valid,
+                      mask_ref=None):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[:, 0]                                   # (W, N, hd) input dtype
+    k = k_ref[:, 0]                                   # (W, Tk, hd)
+    v = v_ref[:, 0]
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale   # (W, N, Tk) f32
+    logits = logits + bias_ref[0][None].astype(jnp.float32)
+    if mask_ref is not None:
+        logits = logits + mask_ref[:].astype(jnp.float32)
+    # mask out-of-range key columns of the last (partial) tile
+    Tk = logits.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2) + j * Tk
+    logits = jnp.where(col < n_valid, logits, -1e30)
+
+    m_prev = m_ref[:]                                 # (W, N) f32
+    l_prev = l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new[:, :, None])           # (W, N, Tk) f32
+    l_ref[:] = l_prev * corr + jnp.sum(p, axis=-1)
+    m_ref[:] = m_new
+    pv = jax.lax.dot_general(
+        p.astype(q_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # (W, N, hd)
+    acc_ref[:] = acc_ref[:] * corr[:, :, None] + pv
+
+    @pl.when(j == n_k - 1)
+    def _():
+        out_ref[:, 0] = (acc_ref[:] / l_ref[:][:, :, None]).astype(
+            out_ref.dtype)
+
+
+def _attn_kernel_long_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
+                             m_ref, l_ref, acc_ref, *, scale, n_k, n_valid):
+    _attn_kernel_long(q_ref, k_ref, v_ref, bias_ref, out_ref,
+                      m_ref, l_ref, acc_ref, scale=scale, n_k=n_k,
+                      n_valid=n_valid, mask_ref=mask_ref)
+
+
+def _pick_window_block_long(Bn: int, N: int, hd: int, itemsize: int,
+                            nW: Optional[int]) -> int:
+    Np_s = _pad_to(N, 8)
+    hd_l = _pad_to(hd, 128)
+    Tk = _LONG_TK
+    for w in (16, 8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        need = (2 * w * Np_s * hd_l * itemsize          # q x2
+                + 2 * 2 * w * Tk * hd_l * itemsize      # k, v x2
+                + 2 * Np_s * Tk * itemsize              # bias tile x2
+                + (2 * w * Np_s * Tk * itemsize if nW is not None else 0)
+                + 2 * w * Np_s * hd_l * itemsize        # out x2
+                + w * Np_s * hd_l * 4                   # acc f32
+                + 2 * _pad_to(w, 8) * _pad_to(N, 128) * 4   # m, l f32
+                + 2 * w * Np_s * Tk * 4)                # logits + p f32
+        if need <= _FLAT_VMEM_BUDGET:
+            return w
+    return 0
+
+
+def _forward_long(q, k, v, bias, mask, scale):
+    """Flash window attention: q,k,v (Bn, nH, N, hd); bias (nH, N, N);
+    mask (nW, N, N) or None. Returns (Bn, nH, N, hd)."""
+    Bn, nH, N, hd = q.shape
+    nW = None if mask is None else mask.shape[0]
+    Tk = _LONG_TK
+    n_k = -(-N // Tk)
+    Nk = n_k * Tk
+    W = _pick_window_block_long(Bn, N, hd, q.dtype.itemsize, nW)
+    if W == 0:
+        return None
+    if Nk != N:
+        # pad the KEY axis so Tk tiles the arrays; padded keys are masked
+        # by the n_valid iota check in-kernel
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Nk - N), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Nk - N), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Nk - N)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (0, 0), (0, Nk - N)))
+    dt = q.dtype
+    grid = (Bn // W, nH, n_k)
+    q_spec = pl.BlockSpec((W, 1, N, hd), lambda i, h, j: (i, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((W, 1, Tk, hd), lambda i, h, j: (i, h, j, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, N, Tk), lambda i, h, j: (h, 0, j),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((W, 1, N, hd), lambda i, h, j: (i, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((W, N), jnp.float32),      # m
+               pltpu.VMEM((W, N), jnp.float32),      # l
+               pltpu.VMEM((W, N, hd), jnp.float32)]  # acc
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * nH * N * Nk * hd,
+        bytes_accessed=4 * q.size * q.dtype.itemsize,
+        transcendentals=Bn * nH * N * Nk,
+    )
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_long, scale=scale, n_k=n_k,
+                              n_valid=N),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, dt),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(q, k, v, bias.astype(dt))
+    mask_spec = pl.BlockSpec((W, N, Tk), lambda i, h, j: (i % (nW // W), 0, j),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_long_masked, scale=scale, n_k=n_k,
+                          n_valid=N),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, dt),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(q, k, v, bias.astype(dt), mask.astype(dt))
+
+
+def _forward_long_from_flat(qkv, bias, mask, scale, num_heads):
+    """Relayout flat qkv to heads and run the flash kernel; None if
+    infeasible (caller falls back to XLA)."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    x = qkv.reshape(Bn, N, 3, num_heads, hd)
+    q = x[:, :, 0].transpose(0, 2, 1, 3)
+    k = x[:, :, 1].transpose(0, 2, 1, 3)
+    v = x[:, :, 2].transpose(0, 2, 1, 3)
+    out = _forward_long(q, k, v, bias, mask, scale)
+    if out is None:
+        return None
+    return out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
 
 
 def _xla_flat_reference(qkv, bias, mask, scale, num_heads):

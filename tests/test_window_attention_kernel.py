@@ -115,6 +115,35 @@ def test_flat_kernel_masked_block_smaller_than_nW(rng, monkeypatch):
                                    atol=2e-5, err_msg=version)
 
 
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_long_flash_kernel_matches_xla(rng, with_mask, monkeypatch):
+    """v6 flash kernel: key-tiled running softmax, incl. a partial last
+    tile (N=150 vs Tk=128) and the flat-dispatch route for N > gate."""
+    import clover_tpu.ops.window_attention as wa
+
+    Bn, nH, N, hd = 4, 2, 150, 16
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = None
+    if with_mask:
+        m = np.where(rng.random((2, N, N)) < 0.3, -100.0, 0.0)
+        mask = jnp.asarray(m.astype(np.float32))
+    scale = hd ** -0.5
+    ref = wa._xla_flat_reference(qkv, bias, mask, scale, nH)
+
+    out = wa._forward_long_from_flat(qkv, bias, mask, scale, nH)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # dispatch: N above the short-kernel gate routes to the flash kernel
+    # when the opt-in is enabled
+    monkeypatch.setattr(wa, "_FLAT_MAX_N", 64)
+    monkeypatch.setattr(wa, "_LONG_ENABLED", True)
+    out2 = wa.flat_window_attention(qkv, bias, mask, scale, nH)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
+
+
 def test_flat_kernel_gradients_match_xla(rng):
     from clover_tpu.ops.window_attention import flat_window_attention
 

@@ -37,23 +37,34 @@ def _device_planes(pd):
             yield plane
 
 
+# container ops span their whole body (their duration double-counts every
+# nested op) — excluded from totals
+_CONTAINER_RX = re.compile(r"^%?(while|conditional|call)\b|^%?(while|conditional|call)\.")
+
 _CATEGORY_RULES = (
-    ("pallas", re.compile(r"pallas|custom-call.*mosaic|tpu_custom_call", re.I)),
-    ("matmul (dot/conv)", re.compile(r"^(dot|convolution|conv)", re.I)),
-    ("copy/relayout", re.compile(r"^(copy|transpose|bitcast|reshape|slice|"
+    # async copy-start/done spans overlap compute; duration = start->done
+    # wait, so report separately rather than as real copy cost
+    ("async-copy (span)", re.compile(r"^%?copy-(start|done)", re.I)),
+    ("pallas", re.compile(r"pallas|custom-call|tpu_custom_call|mosaic", re.I)),
+    ("matmul (dot/conv)", re.compile(r"^%?(dot|convolution|conv)\b", re.I)),
+    ("copy/relayout", re.compile(r"^%?(copy|transpose|bitcast|reshape|slice|"
                                  r"dynamic-slice|dynamic-update-slice|concatenate|pad|gather|scatter)", re.I)),
-    ("convert/reduce", re.compile(r"^(convert|reduce|all-reduce)", re.I)),
-    ("elementwise", re.compile(r"^(add|multiply|subtract|divide|exponential|"
+    ("convert/reduce", re.compile(r"^%?(convert|reduce|all-reduce)", re.I)),
+    ("elementwise", re.compile(r"^%?(add|multiply|subtract|divide|exponential|"
                                r"tanh|maximum|minimum|select|compare|rsqrt|power)", re.I)),
     ("infeed/outfeed", re.compile(r"infeed|outfeed|host", re.I)),
 )
 
 
 def _categorize(name: str) -> str:
-    # XLA event names look like "fusion.123", "copy.4", "dot.17",
-    # "loop_fusion", "tpu_custom_call.7" etc.
-    base = name.split(".")[0]
-    if base.startswith("fusion") or "fusion" in base:
+    # XLA event names look like "%fusion.123 = ...", "%copy.4", "%dot.17",
+    # "%attn.217 = ... custom-call(...)", "loop_fusion" etc.
+    base = name.lstrip("%").split(".")[0].split(" ")[0]
+    if base == "fusion" or base.endswith("_fusion") or "_fusion." in name:
+        # convert_reduce_fusion etc. keep their own bucket below if matched
+        for cat, rx in _CATEGORY_RULES[2:]:
+            if rx.search(name.lstrip("%")):
+                return cat
         return "fusion"
     for cat, rx in _CATEGORY_RULES:
         if rx.search(name):
@@ -78,6 +89,8 @@ def summarize(trace_dir: str, top: int = 25):
             if "XLA Ops" not in line.name and "Ops" != line.name.strip():
                 continue
             for ev in line.events:
+                if _CONTAINER_RX.match(ev.name):
+                    continue
                 per_op[ev.name] += ev.duration_ns
                 per_cat[_categorize(ev.name)] += ev.duration_ns
                 n_events += 1
