@@ -132,7 +132,10 @@ def main():
     )
     from clover_tpu.ops.preprocess import eval_preprocess
 
-    B = int(os.environ.get("BENCH_BATCH", 16))
+    # batch sweep (2026-08-17, all kernels on): B=16 -> 438.7, B=32 ->
+    # 462.5, B=64 -> 425.7 clips/s; default the sweet spot (retrieval
+    # eval batches freely — MSRVTT 1k-A is 1000 clips)
+    B = int(os.environ.get("BENCH_BATCH", 32))
     T = int(os.environ.get("BENCH_FRAMES", 8))
     ITERS = int(os.environ.get("BENCH_ITERS", 16))
     ATTN = os.environ.get("BENCH_ATTN", "auto")

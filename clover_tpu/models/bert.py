@@ -84,7 +84,8 @@ class BertEmbeddings(nn.Module):
             token_type_ids = jnp.zeros_like(input_ids)
 
         x = word(input_ids) + pos(position_ids)[None, :, :] + tok_type(token_type_ids)
-        x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(
+            x, deterministic)
         x = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(x)
         return x.astype(self.dtype)
 
@@ -122,6 +123,13 @@ class BertSelfAttention(nn.Module):
         return out.reshape(x.shape[0], x.shape[1], cfg.hidden_size)
 
 
+import os as _os
+
+# fuse the post-LN MLP half LN(x + fc2(gelu(fc1(x)))) into one Pallas
+# kernel on deterministic (fwd-only) passes; CLOVER_BERT_MLP=xla opts out
+_BERT_FUSED_MLP = _os.environ.get("CLOVER_BERT_MLP", "pallas") != "xla"
+
+
 class BertLayer(nn.Module):
     """Post-LN transformer layer matching HF BertLayer structure."""
 
@@ -138,15 +146,35 @@ class BertLayer(nn.Module):
                      name="attention_output")(attn)
         attn = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn)
         x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
-                       name="attention_norm")(x + attn)
+                       name="attention_norm")(x + attn, deterministic)
 
-        h = dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
-                  name="intermediate")(x)
-        h = nn.gelu(h, approximate=False)
-        h = dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init, name="output")(h)
+        inter = dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
+                      name="intermediate")
+        out_d = dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
+                      name="output")
+        out_norm = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
+                              name="output_norm")
+        if deterministic and _BERT_FUSED_MLP:
+            from clover_tpu.ops.mlp_block import fused_mlp_postln
+
+            # materialize params at their canonical paths with a 1-row call
+            # (DCE'd in apply), then hand their values to the kernel
+            xd = x[:1, :1]
+            _ = out_norm(xd + out_d(nn.gelu(inter(xd), approximate=False)))
+            p_i = self.scope.get_variable("params", "intermediate")
+            p_o = self.scope.get_variable("params", "output")
+            p_n = self.scope.get_variable("params", "output_norm")
+            C = x.shape[-1]
+            out = fused_mlp_postln(
+                x.reshape(-1, C), p_n["scale"], p_n["bias"],
+                p_i["kernel"], p_i["bias"], p_o["kernel"], p_o["bias"],
+                cfg.layer_norm_eps)
+            return out.reshape(x.shape)
+
+        h = nn.gelu(inter(x), approximate=False)
+        h = out_d(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
-        return layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
-                          name="output_norm")(x + h)
+        return out_norm(x + h, deterministic)
 
 
 class BertEncoder(nn.Module):

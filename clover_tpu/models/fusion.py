@@ -118,7 +118,7 @@ class CrossModalTransformer(nn.Module):
         visual_token = visual_token.reshape(B, T * S, D)
         visual_token = visual_token + type_table(
             jnp.zeros((B, T * S), dtype=jnp.int32)).astype(visual_token.dtype)
-        visual_token = self.visual_norm(visual_token)
+        visual_token = self.visual_norm(visual_token, deterministic)
 
         if not cfg.use_text_cls:
             extra = [jnp.broadcast_to(self.all_cls_token.astype(visual_token.dtype),

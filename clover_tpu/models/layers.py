@@ -46,7 +46,8 @@ class FusedLayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fwd_only: bool = False) -> jax.Array:
+        del fwd_only  # forced-kernel variant; arg kept for call-site compat
         from clover_tpu.ops.layer_norm import fused_layer_norm
 
         C = x.shape[-1]
@@ -58,12 +59,37 @@ class FusedLayerNorm(nn.Module):
 
 import os as _os
 
-# Default XLA: measured 275 vs 283-291 clips/s with the Pallas LN on the
-# eval bench. XLA already fuses the normalize-apply into each consumer, so
-# a standalone LN kernel costs one extra HBM write per site; the kernel
-# only wins if it also swallows the consumer matmul (future work). Kept as
-# an opt-in (CLOVER_LN=pallas) with tests.
-_LN_IMPL = _os.environ.get("CLOVER_LN", "xla")
+# 'auto' (default): call sites that know they are on a forward-only path
+# (deterministic eval) pass fwd_only=True and get the fused Pallas kernel
+# (+1.3% eval, 442.7 vs 437.2); everything else keeps XLA, which fuses
+# the normalize-apply into consumers and wins in training (31.5 vs 32.0
+# with the kernel's custom-vjp recompute). 'pallas'/'xla' force one impl
+# everywhere (CLOVER_LN env).
+_LN_IMPL = _os.environ.get("CLOVER_LN", "auto")
+
+
+class LayerNormAuto(nn.Module):
+    """LayerNorm whose impl is chosen per call: ``fwd_only=True`` routes to
+    the fused Pallas kernel (TPU), else XLA math. Parameter layout and fp32
+    stats match nn.LayerNorm exactly (parity-tested in
+    tests/test_layer_norm_kernel.py), so checkpoints are interchangeable
+    with either forced impl."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, fwd_only: bool = False) -> jax.Array:
+        from clover_tpu.ops.layer_norm import _xla_layer_norm, fused_layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        use_kernel = {"pallas": True, "xla": False}.get(_LN_IMPL, fwd_only)
+        if use_kernel:
+            return fused_layer_norm(x.astype(self.dtype), scale, bias,
+                                    self.epsilon)
+        return _xla_layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
 
 
 def layer_norm(*, eps: float = 1e-5, dtype: Dtype = jnp.float32,
@@ -71,7 +97,7 @@ def layer_norm(*, eps: float = 1e-5, dtype: Dtype = jnp.float32,
     # Norm statistics always in fp32 (reference patch_norm_fp32 behavior).
     if _LN_IMPL == "pallas":
         return FusedLayerNorm(epsilon=eps, dtype=dtype, name=name)
-    return nn.LayerNorm(epsilon=eps, dtype=dtype, param_dtype=jnp.float32, name=name)
+    return LayerNormAuto(epsilon=eps, dtype=dtype, name=name)
 
 
 class Mlp(nn.Module):

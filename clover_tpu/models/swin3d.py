@@ -392,7 +392,7 @@ class SwinBlock3D(nn.Module):
             return self._mlp_half(x, deterministic)
 
         shortcut = x
-        x = layer_norm(dtype=self.dtype, name="norm1")(x)
+        x = layer_norm(dtype=self.dtype, name="norm1")(x, deterministic)
         if pad_d or pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
         Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
@@ -464,7 +464,7 @@ class SwinBlock3D(nn.Module):
                 row_scale)
             return out.reshape(x.shape)
 
-        h = norm2(x)
+        h = norm2(x, deterministic)
         h = mlp(h, deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(
             h, deterministic=deterministic)
@@ -531,7 +531,7 @@ class PatchMerging(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fwd_only: bool = False) -> jax.Array:
         B, D, H, W, C = x.shape
         if H % 2 or W % 2:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
@@ -540,7 +540,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, :, 0::2, 1::2, :]
         x3 = x[:, :, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = layer_norm(dtype=self.dtype, name="norm")(x)
+        x = layer_norm(dtype=self.dtype, name="norm")(x, fwd_only)
         return dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
 
@@ -558,7 +558,7 @@ class PatchEmbed3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, fwd_only: bool = False) -> jax.Array:
         cfg = self.config
         pd, ph, pw = cfg.patch_size
         B, D, H, W, C = x.shape
@@ -592,7 +592,7 @@ class PatchEmbed3D(nn.Module):
                 name="proj",
             )(x)
         if cfg.patch_norm:
-            x = layer_norm(dtype=self.dtype, name="norm")(x)
+            x = layer_norm(dtype=self.dtype, name="norm")(x, fwd_only)
         return x
 
 
@@ -629,7 +629,8 @@ class SwinTransformer3D(nn.Module):
     ):
         cfg = self.config
         if mode in ("full", "embed"):
-            x = PatchEmbed3D(cfg, dtype=self.dtype, name="patch_embed")(x)
+            x = PatchEmbed3D(cfg, dtype=self.dtype, name="patch_embed")(
+                x, deterministic)
             x = constrain_activation(x, cfg.act_sharding)
             if mode == "embed":
                 return x
@@ -688,9 +689,10 @@ class SwinTransformer3D(nn.Module):
                 block_idx += 1
             if i_stage < num_stages - 1:
                 x = PatchMerging(dim, dtype=self.dtype,
-                                 name=f"stage_{i_stage}_downsample")(x)
+                                 name=f"stage_{i_stage}_downsample")(
+                                     x, deterministic)
 
-        x = layer_norm(dtype=self.dtype, name="norm")(x)
+        x = layer_norm(dtype=self.dtype, name="norm")(x, deterministic)
         if token_mask is not None:
             return x, w
         return x

@@ -116,6 +116,114 @@ def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
     return best
 
 
+def _kernel_postln(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   out_ref, acc_ref, *, eps: float, n_chunks: int):
+    """Post-LN (BERT) order: out = LN(x + fc2(gelu(fc1(x)))).
+
+    Same hidden-chunk accumulation as the pre-LN kernel; the LayerNorm
+    moves to the final chunk, where the full C row of x + mlp is in VMEM.
+    """
+    j = pl.program_id(1)
+    x = x_ref[:].astype(jnp.float32)                       # (R, C)
+    h = jnp.dot(x_ref[:], w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    y = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)        # (R, C)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = y
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + y
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        z = x + acc_ref[:] + b2_ref[:]
+        mean = jnp.mean(z, axis=-1, keepdims=True)
+        zc = z - mean
+        var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+        out = zc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _xla_reference_postln(x, scale, bias, w1, b1, w2, b2, eps):
+    h = jnp.dot(x, w1.astype(x.dtype),
+                preferred_element_type=jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False)
+    y = jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
+                preferred_element_type=jnp.float32) + b2
+    z = x.astype(jnp.float32) + y
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    out = zc * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
+
+
+def _forward_postln(x, scale, bias, w1, b1, w2, b2, eps):
+    if not _on_tpu() and not _FORCE_PALLAS:
+        return _xla_reference_postln(x, scale, bias, w1, b1, w2, b2, eps)
+    rows, C = x.shape
+    H = w1.shape[1]
+    R, Hc = _pick_tiles(rows, C, H, x.dtype.itemsize)
+    if R == 0:
+        return _xla_reference_postln(x, scale, bias, w1, b1, w2, b2, eps)
+    n_chunks = H // Hc
+    f32 = jnp.float32
+    in_specs = [
+        pl.BlockSpec((R, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, Hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hc, C), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, scale.astype(f32).reshape(1, C), bias.astype(f32).reshape(1, C),
+            w1.astype(x.dtype), b1.astype(f32).reshape(1, H),
+            w2.astype(x.dtype), b2.astype(f32).reshape(1, C)]
+    return pl.pallas_call(
+        functools.partial(_kernel_postln, eps=eps, n_chunks=n_chunks),
+        grid=(pl.cdiv(rows, R), n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, C), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R, C), f32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * C * H,
+            bytes_accessed=(2 * rows * C + 2 * C * H) * x.dtype.itemsize,
+            transcendentals=rows * H,
+        ),
+        interpret=not _on_tpu(),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_postln(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-12):
+    """LN(x + fc2(gelu(fc1(x)))) over 2-D x (rows, C) — the BERT post-LN
+    MLP half (bert.py BertLayer; HF BertIntermediate+BertOutput)."""
+    return _forward_postln(x, scale, bias, w1, b1, w2, b2, eps)
+
+
+def _fwd_postln(x, scale, bias, w1, b1, w2, b2, eps):
+    return _forward_postln(x, scale, bias, w1, b1, w2, b2, eps), (
+        x, scale, bias, w1, b1, w2, b2)
+
+
+def _bwd_postln(eps, residuals, g):
+    x, scale, bias, w1, b1, w2, b2 = residuals
+    _, vjp = jax.vjp(lambda *a: _xla_reference_postln(*a, eps),
+                     x, scale, bias, w1, b1, w2, b2)
+    return vjp(g)
+
+
+fused_mlp_postln.defvjp(_fwd_postln, _bwd_postln)
+
+
 def _xla_reference(x, scale, bias, w1, b1, w2, b2, row_scale, eps):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

@@ -86,3 +86,70 @@ def test_swin_block_fused_mlp_grads():
     blk = grads["stage_0_block_0"]
     assert float(np.abs(np.asarray(blk["mlp"]["fc1"]["kernel"])).max()) > 0
     assert float(np.abs(np.asarray(blk["norm2"]["scale"])).max()) > 0
+
+
+@pytest.mark.parametrize("rows,C,H,dtype", [
+    (64, 128, 512, jnp.float32),
+    (40, 96, 384, jnp.float32),
+    (32, 256, 1024, jnp.bfloat16),
+])
+def test_postln_kernel_matches_reference(rows, C, H, dtype, monkeypatch):
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(rows, C)) * 0.5, dtype)
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    got = MB.fused_mlp_postln(x, scale, bias, w1, b1, w2, b2, 1e-12)
+    ref = MB._xla_reference_postln(x, scale, bias, w1, b1, w2, b2, 1e-12)
+    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_postln_kernel_chunked_and_grads(monkeypatch):
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    monkeypatch.setattr(MB, "_pick_tiles",
+                        lambda rows, C, H, i, budget=0: (16, H // 4))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(48, 64)).astype(np.float32))
+    args = [jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+            for s in [64, 64, (64, 256), 256, (256, 64), 64]]
+    got = MB.fused_mlp_postln(x, *args, 1e-12)
+    ref = MB._xla_reference_postln(x, *args, 1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(lambda a: jnp.sum(MB.fused_mlp_postln(a, *args, 1e-12) ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(
+        MB._xla_reference_postln(a, *args, 1e-12) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bert_layer_fused_matches_unfused(monkeypatch):
+    """BertLayer with the fused post-LN MLP kernel == the unfused graph."""
+    import clover_tpu.models.bert as bert_mod
+    from clover_tpu.models.bert import BertConfig, BertLayer
+
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=64,
+                     hidden_dropout=0.0, attention_dropout=0.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 6, 32)).astype(np.float32))
+    layer = BertLayer(cfg)
+    params = layer.init(jax.random.PRNGKey(0), x, None)["params"]
+
+    monkeypatch.setattr(bert_mod, "_BERT_FUSED_MLP", True)
+    out_fused = layer.apply({"params": params}, x, None, deterministic=True)
+    monkeypatch.setattr(bert_mod, "_BERT_FUSED_MLP", False)
+    out_ref = layer.apply({"params": params}, x, None, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    # param tree identical whichever path init took
+    p2 = layer.init(jax.random.PRNGKey(0), x, None)["params"]
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(params))
