@@ -60,18 +60,20 @@ class SwinConfig:
     # keeps the memory win where activations are large (early stages)
     # without recomputing the 18-block stage 3
     use_checkpoint: Any = False
-    # 'auto' (default) resolves per call: deterministic (eval / fwd-only)
-    # -> 'pallas_flat'; training -> 'xla_headloop'.
-    # 'pallas_flat': fused VMEM kernel on the un-relayouted qkv — bf16 MXU
-    # dots with fp32 accumulation, head slicing at static lane offsets,
-    # logits never touch HBM; measured 423-425 vs 368-371 clips/s eval on
-    # v5e (+15% over 'xla_headloop'), but 30.9 vs 31.7 on the train step
-    # (the custom-vjp XLA recompute eats the fwd win) — hence 'auto'. XLA
-    # fallback off-TPU and for long windows (N>256, measured slower).
+    # 'auto' (default) -> 'pallas_flat' everywhere (falls back to
+    # 'xla_headloop' for training only if the fused bwd kernel is disabled
+    # via CLOVER_WA_BWD=0).
+    # 'pallas_flat': fused VMEM kernels on the un-relayouted qkv — bf16
+    # MXU dots with fp32 accumulation, head slicing at static lane
+    # offsets, logits never touch HBM, and a matching fused backward that
+    # emits dqkv/dbias directly in the flat layout (the XLA attention bwd
+    # was 46% of train-step device time in relayout copies). Measured:
+    # eval 423-438 vs 368-371 headloop (+15%); train 40.4 vs 31.8 (+27%).
+    # XLA fallback off-TPU and for long windows (N>256, measured slower).
     # 'xla_headloop': per-head lane slices of the flat qkv, no relayout
     # copy (+10% over 'xla'). 'xla': batched einsum reference.
     # 'pallas'/'fused_block': earlier fp32-dot kernels, slower (they fed
-    # the MXU fp32 — see BASELINE.md kernel log).
+    # the MXU fp32 — see BASELINE.md kernel log / docs/KERNELS.md).
     attention_impl: str = "auto"
     # 'conv' (default): XLA conv lowering of the patch embed — avoids the
     # tiny-trailing-dim space-to-depth transposes (+4% eval). 's2d':
@@ -372,7 +374,21 @@ class SwinBlock3D(nn.Module):
     def _resolve_impl(self, deterministic: bool) -> str:
         if self.attention_impl != "auto":
             return self.attention_impl
-        return "pallas_flat" if deterministic else "xla_headloop"
+        if jax.default_backend() != "tpu":
+            # off-TPU the kernels would only run in (slow) interpret mode;
+            # the head-loop XLA math is numerically equivalent. Explicit
+            # attention_impl='pallas_flat' still forces interpret kernels
+            # (that is what the parity tests use).
+            return "xla_headloop"
+        from clover_tpu.ops.window_attention import _BWD_KERNEL
+
+        # with the fused bwd kernel the flat kernel wins both ways (train
+        # 40.4 vs 31.8 clips/s, eval +15%); without it (CLOVER_WA_BWD=0)
+        # training falls back to the head-loop XLA math whose autodiff
+        # avoids the custom-vjp recompute
+        if deterministic or _BWD_KERNEL:
+            return "pallas_flat"
+        return "xla_headloop"
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

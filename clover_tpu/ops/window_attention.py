@@ -544,7 +544,11 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
     W = (_pick_window_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
          if N <= _FLAT_MAX_N else 0)
     if W == 0:
-        if _LONG_ENABLED:
+        if _LONG_IMPL == "v7":
+            out = _forward_flat_flash(qkv, bias, mask, scale, num_heads)
+            if out is not None:
+                return out
+        elif _LONG_IMPL in ("1", "v6"):
             out = _forward_long_from_flat(qkv, bias, mask, scale, num_heads)
             if out is not None:
                 return out
@@ -603,7 +607,10 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
 # head-packed variant; see BASELINE.md.
 
 _LONG_TK = 128
-_LONG_ENABLED = _os.environ.get("CLOVER_WA_LONG", "0") == "1"
+# long-window kernel selector: "0" (default) = XLA head-loop fallback;
+# "v6"/"1" = per-head flash (measured slower, see below); "v7" = flat-qkv
+# flash (v5 layout + key tiling)
+_LONG_IMPL = _os.environ.get("CLOVER_WA_LONG", "0")
 
 
 def _attn_kernel_long(q_ref, k_ref, v_ref, bias_ref, out_ref,
@@ -759,6 +766,159 @@ def _forward_long_from_flat(qkv, bias, mask, scale, num_heads):
     return out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
 
 
+# ------------------------------------------------------------- flat-flash v7
+# Long-window kernel combining v5's layout with v6's key tiling: qkv stays
+# in the un-relayouted (Bn, N, 3C) form (no hd->128 lane-padding waste — the
+# reason v6 lost), heads are sliced at static lane offsets, and the key axis
+# is tiled by passing the SAME qkv array through a second, key-tiled
+# BlockSpec. Per-head flash state (running max / denom / fp32 out) lives in
+# VMEM scratch across the key-tile grid axis.
+
+
+def _attn_kernel_flat_flash(qkv_q_ref, qkv_kv_ref, bias_ref, out_ref,
+                            m_ref, l_ref, acc_ref, *, scale, nH, hd,
+                            n_k, n_valid, mask_ref=None):
+    C = nH * hd
+    j = pl.program_id(1)
+    Tk = qkv_kv_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for h in range(nH):
+        q = qkv_q_ref[:, :, h * hd:(h + 1) * hd]            # (W, N, hd)
+        k = qkv_kv_ref[:, :, C + h * hd:C + (h + 1) * hd]   # (W, Tk, hd)
+        v = qkv_kv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale     # (W, N, Tk) f32
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[:].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2) + j * Tk
+        logits = jnp.where(col < n_valid, logits, -1e30)
+
+        m_prev = m_ref[h]                                   # (W, N) f32
+        l_prev = l_ref[h]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[:, :, None])
+        l_ref[h] = l_prev * corr + jnp.sum(p, axis=-1)
+        m_ref[h] = m_new
+        pv = jax.lax.dot_general(
+            p.astype(qkv_q_ref.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (W, N, hd)
+        acc_ref[h] = acc_ref[h] * corr[:, :, None] + pv
+
+    @pl.when(j == n_k - 1)
+    def _():
+        for h in range(nH):
+            out_ref[:, :, h * hd:(h + 1) * hd] = (
+                acc_ref[h] / l_ref[h][:, :, None]).astype(out_ref.dtype)
+
+
+def _attn_kernel_flat_flash_masked(qkv_q_ref, qkv_kv_ref, bias_ref, mask_ref,
+                                   out_ref, m_ref, l_ref, acc_ref, *,
+                                   scale, nH, hd, n_k, n_valid):
+    _attn_kernel_flat_flash(qkv_q_ref, qkv_kv_ref, bias_ref, out_ref,
+                            m_ref, l_ref, acc_ref, scale=scale, nH=nH, hd=hd,
+                            n_k=n_k, n_valid=n_valid, mask_ref=mask_ref)
+
+
+def _pick_window_block_flash(Bn: int, nH: int, N: int, hd: int,
+                             itemsize: int, nW: Optional[int]) -> int:
+    C = nH * hd
+    Tk = _LONG_TK
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    for w in (16, 8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize  # q view x2
+                + 2 * w * Tk * _pad_to(3 * C, 128) * itemsize  # kv tile x2
+                + 2 * nH * Np_s * Tk * itemsize                # bias tile x2
+                + (2 * w * Np_s * Tk * itemsize if nW is not None else 0)
+                + 2 * w * Np_s * _pad_to(C, 128) * itemsize    # out x2
+                + nH * w * Np_s * _pad_to(hd, 128) * 4         # acc f32
+                + 2 * nH * _pad_to(w, 8) * Np_l * 4            # m, l f32
+                + w * Np_s * Tk * (4 + itemsize))              # logits + p
+        if need <= _FLAT_VMEM_BUDGET:
+            return w
+    return 0
+
+
+def _forward_flat_flash(qkv, bias, mask, scale, num_heads):
+    """Key-tiled flash attention on flat (Bn, N, 3C) qkv. None if
+    infeasible."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    nW = None if mask is None else mask.shape[0]
+    Tk = _LONG_TK
+    n_k = -(-N // Tk)
+    Nk = n_k * Tk
+    W = _pick_window_block_flash(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    if W == 0:
+        return None
+    dt = qkv.dtype
+    qkv_keys = qkv
+    bias_t = bias.astype(dt)
+    mask_t = None if mask is None else mask.astype(dt)
+    if Nk != N:
+        # pad the key/row axis for Tk tiling; padded keys masked in-kernel
+        qkv_keys = jnp.pad(qkv, ((0, 0), (0, Nk - N), (0, 0)))
+        bias_t = jnp.pad(bias_t, ((0, 0), (0, 0), (0, Nk - N)))
+        if mask_t is not None:
+            mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, Nk - N)))
+    grid = (Bn // W, n_k)
+    q_spec = pl.BlockSpec((W, N, 3 * C), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # kv block indexes (window block i, key tile j) into the row-padded copy
+    kv_spec = pl.BlockSpec((W, Tk, 3 * C), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, N, Tk), lambda i, j: (0, 0, j),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((W, N, C), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((num_heads, W, N), jnp.float32),   # m
+               pltpu.VMEM((num_heads, W, N), jnp.float32),   # l
+               pltpu.VMEM((num_heads, W, N, hd), jnp.float32)]  # acc
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * num_heads * N * Nk * hd,
+        bytes_accessed=3 * qkv.size * qkv.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * Nk,
+    )
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, n_k=n_k, n_valid=N)
+    if mask_t is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat_flash, **kwargs),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bn, N, C), dt),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv_keys, bias_t)
+    mask_spec = pl.BlockSpec((W, N, Tk),
+                             lambda i, j: (i % (nW // W), 0, j),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat_flash_masked, **kwargs),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, N, C), dt),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv, qkv_keys, bias_t, mask_t)
+
+
 def _xla_flat_reference(qkv, bias, mask, scale, num_heads):
     """XLA math for the flat kernel (bwd recompute, CPU path, fallback).
 
@@ -788,6 +948,147 @@ def _xla_flat_reference(qkv, bias, mask, scale, num_heads):
     return jnp.concatenate(outs, axis=-1)
 
 
+# ------------------------------------------------------------- bwd kernel
+# The train-step profile showed 46% of device time in copy/relayout ops,
+# dominated by the attention backward: XLA autodiff of the per-head-sliced
+# math materializes every head's dq/dk/dv in transposed layouts and
+# scatters them back into (Bn, N, 3C). This kernel recomputes
+# logits/probs in VMEM (flash-style recompute) and emits dqkv directly in
+# the flat layout; dbias accumulates into a VMEM-resident fp32 block
+# across the window-block grid. Shift-mask gradients are intentionally
+# zero — masks are trace-time constants in this model (swin3d.py
+# shift_attn_mask), never trainable.
+
+
+def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
+                          scale, nH, hd, n_i, mask_ref=None):
+    C = nH * hd
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    for h in range(nH):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd]               # (W, N, hd)
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # (W, Nq, Nk)
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[:].astype(jnp.float32)
+        p32 = jax.nn.softmax(logits, axis=-1)
+        p = p32.astype(qkv_ref.dtype)
+        g_h = g_ref[:, :, h * hd:(h + 1) * hd]               # (W, Nq, hd)
+        # dv = p^T g  (contract the query axis)
+        dv = jax.lax.dot_general(
+            p, g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nk, hd)
+        # dp = g v^T  (contract hd)
+        dp = jax.lax.dot_general(
+            g_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
+        # softmax vjp: dlogits = p * (dp - sum(dp * p, keys))
+        dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        dlog_b = dlog.astype(qkv_ref.dtype)
+        dq = jax.lax.dot_general(
+            dlog_b, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # (W, Nq, hd)
+        dk = jax.lax.dot_general(
+            dlog_b, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale      # (W, Nk, hd)
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, C + h * hd:C + (h + 1) * hd] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype)
+        dbias_ref[h] += jnp.sum(dlog, axis=0)
+
+
+def _attn_kernel_flat_bwd_masked(qkv_ref, bias_ref, g_ref, mask_ref,
+                                 dqkv_ref, dbias_ref, *, scale, nH, hd, n_i):
+    _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                          scale=scale, nH=nH, hd=hd, n_i=n_i,
+                          mask_ref=mask_ref)
+
+
+def _pick_window_block_bwd(Bn: int, nH: int, N: int, hd: int,
+                           itemsize: int, nW: Optional[int]) -> int:
+    C = nH * hd
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    for w in (16, 8, 4, 2, 1):
+        if Bn % w:
+            continue
+        if nW is not None and (w > nW or nW % w):
+            continue
+        need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize   # qkv x2
+                + 2 * w * Np_s * _pad_to(C, 128) * itemsize     # g x2
+                + 2 * w * Np_s * _pad_to(3 * C, 128) * itemsize  # dqkv x2
+                + nH * Np_s * Np_l * 4                          # dbias res.
+                + 2 * nH * Np_s * Np_l * itemsize               # bias x2
+                + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                + 3 * w * Np_s * Np_l * 4)      # logits/p32 + dp + dlog f32
+        if need <= _FLAT_VMEM_BUDGET:
+            return w
+    return 0
+
+
+_BWD_KERNEL = _os.environ.get("CLOVER_WA_BWD", "1") == "1"
+
+
+def _backward_flat(qkv, bias, mask, scale, num_heads, g):
+    """Fused bwd: (dqkv, dbias) or None if infeasible."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    nW = None if mask is None else mask.shape[0]
+    if N > _FLAT_MAX_N:
+        return None
+    W = _pick_window_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    if W == 0:
+        return None
+    dt = qkv.dtype
+    qkv_spec = pl.BlockSpec((W, N, 3 * C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((W, N, C), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dbias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((Bn, N, 3 * C), dt),
+                  jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32))
+    cost = pl.CostEstimate(
+        flops=5 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=4 * qkv.size * qkv.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, n_i=Bn // W)
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat_bwd, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec, g_spec],
+            out_specs=(qkv_spec, dbias_spec),
+            out_shape=out_shapes,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, bias.astype(dt), g)
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat_bwd_masked, **kwargs),
+        grid=(Bn // W,),
+        in_specs=[qkv_spec, bias_spec, g_spec, mask_spec],
+        out_specs=(qkv_spec, dbias_spec),
+        out_shape=out_shapes,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv, bias.astype(dt), g, mask.astype(dt))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flat_window_attention(qkv, bias, mask, scale, num_heads):
     """softmax(q·kᵀ·scale + bias (+mask)) · v from FLAT qkv (Bn, N, 3C).
@@ -805,6 +1106,16 @@ def _flat_fwd(qkv, bias, mask, scale, num_heads):
 
 def _flat_bwd(scale, num_heads, residuals, g):
     qkv, bias, mask = residuals
+    if _BWD_KERNEL:
+        out = _backward_flat(qkv, bias, mask, scale, num_heads,
+                             g.astype(qkv.dtype))
+        if out is not None:
+            dqkv, dbias = out
+            dbias = dbias.astype(bias.dtype)
+            # shift masks are trace-time constants (never trainable) —
+            # their gradient is intentionally zero here
+            dmask = None if mask is None else jnp.zeros_like(mask)
+            return dqkv, dbias, dmask
     if mask is None:
         _, vjp = jax.vjp(
             lambda a, b: _xla_flat_reference(a, b, None, scale, num_heads),
