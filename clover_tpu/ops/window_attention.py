@@ -503,11 +503,13 @@ import os as _os
 # 12 -> 420, 14-16 -> 425.5 (plateau; estimates are conservative enough
 # that even 16 compiles) — default to the plateau's low edge
 _FLAT_VMEM_BUDGET = int(_os.environ.get("CLOVER_WA_VMEM_MB", "14")) * 2 ** 20
-# long-context gate: at N=392 (32-frame eval) the feasible W shrinks to 1-2
-# and the kernel measured 41 clips/s vs 58 for the XLA head-loop math (and
-# W=4 at 14 MB hit a TPU runtime fault); a key-tiled flash variant is the
-# follow-up — until then windows longer than this use the XLA path
-_FLAT_MAX_N = int(_os.environ.get("CLOVER_WA_MAX_N", "256"))
+# long-context gate. History: with the masked-BlockSpec indexing bug the
+# kernel measured 41 clips/s vs 58 XLA at N=392 and faulted at 14 MB, so
+# it was gated to N<=256; after the fix the SAME kernel measures 62 (7 MB)
+# and 87 clips/s (14 MB) vs 57.9 XLA at 32-frame eval — +50%. The gate now
+# only bounds pathological window sizes; stages whose all-heads bias
+# cannot fit VMEM (W=0) still fall back per-shape automatically.
+_FLAT_MAX_N = int(_os.environ.get("CLOVER_WA_MAX_N", "512"))
 
 
 def _pick_window_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
