@@ -286,6 +286,306 @@ def _forward(x, scale, bias, w1, b1, w2, b2, row_scale, eps):
     return out
 
 
+# ----------------------------------------------------------- fused backward
+# Same playbook as the attention bwd kernel (window_attention.py): the XLA
+# vjp of this block recomputes and MATERIALIZES the 4C hidden in HBM (as
+# well as fp32 LN stats vectors per site). Two kernels split the backward
+# by accumulation direction — row-indexed grads (dx, and the reductions
+# dscale/dbias/db2/drow_scale which accumulate into constant-index blocks)
+# iterate hidden chunks innermost; weight grads (dW1/db1/dW2) iterate row
+# blocks innermost so their j-indexed output blocks stay resident. Both
+# recompute LN + hidden in VMEM; nothing 4C-wide ever touches HBM.
+
+
+def _erf_grad(z):
+    """d/dz gelu(z) = Phi(z) + z * phi(z), with Phi via the rational erf."""
+    phi = jnp.exp(-0.5 * z * z) * 0.3989422804014327       # 1/sqrt(2*pi)
+    Phi = 0.5 * (1.0 + _erf(z * 0.7071067811865476))
+    return Phi + z * phi
+
+
+def _recompute(x_ref, s_ref, b_ref, w1_ref, b1_ref, eps):
+    """Shared VMEM recompute: LN stats, y (fc1 input), z, h, dgelu."""
+    x = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xn_raw = xc * inv
+    y = xn_raw * s_ref[:] + b_ref[:]
+    y_bf = y.astype(x_ref.dtype)
+    z = jnp.dot(y_bf, w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = 0.5 * z * (1.0 + _erf(z * 0.7071067811865476))
+    return x, inv, xn_raw, y_bf, z, h
+
+
+def _kernel_bwd_dx(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   g_ref, dx_ref, ds_ref, db_ref, db2_ref, out_extra,
+                   dy_ref, mlp_ref, *, eps, n_chunks, n_rows, has_rs,
+                   rs_ref=None, drs_ref=None):
+    i, j = pl.program_id(0), pl.program_id(1)
+    R = x_ref.shape[0]
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dy_ref[:] = jnp.zeros_like(dy_ref)
+        if has_rs:
+            mlp_ref[:] = jnp.zeros_like(mlp_ref)
+
+    x, inv, xn_raw, y_bf, z, h = _recompute(x_ref, s_ref, b_ref, w1_ref,
+                                            b1_ref, eps)
+    rmask = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+             + i * R) < n_rows
+    g32 = jnp.where(rmask, g_ref[:].astype(jnp.float32), 0.0)
+    # re-mask after the rs product: tail-row rs garbage can be NaN/inf
+    gy = jnp.where(rmask, g32 * rs_ref[:], 0.0) if has_rs else g32
+    gy_bf = gy.astype(x_ref.dtype)
+    dh = jax.lax.dot_general(
+        gy_bf, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (R, Hc)
+    dz = dh * _erf_grad(z)
+    dy_ref[:] = dy_ref[:] + jax.lax.dot_general(
+        dz.astype(x_ref.dtype), w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (R, C)
+    if has_rs:
+        mlp_ref[:] = mlp_ref[:] + jnp.dot(
+            h.astype(x_ref.dtype), w2_ref[:],
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        dy = jnp.where(rmask, dy_ref[:], 0.0)
+        dyt = dy * s_ref[:]
+        m1 = jnp.mean(dyt, axis=-1, keepdims=True)
+        m2 = jnp.mean(dyt * xn_raw, axis=-1, keepdims=True)
+        dx = inv * (dyt - m1 - xn_raw * m2) + g32
+        dx_ref[:] = dx.astype(dx_ref.dtype)
+        # mask the product, not just dy: garbage tail rows make xn_raw
+        # NaN and 0 * NaN would poison the reduction
+        ds_ref[:] = ds_ref[:] + jnp.sum(
+            jnp.where(rmask, dy * xn_raw, 0.0), axis=0, keepdims=True)
+        db_ref[:] = db_ref[:] + jnp.sum(dy, axis=0, keepdims=True)
+        db2_ref[:] = db2_ref[:] + jnp.sum(gy, axis=0, keepdims=True)
+        if has_rs:
+            mlp_out = mlp_ref[:] + b2_ref[:]
+            drs_ref[:] = jnp.sum(g32 * mlp_out, axis=-1, keepdims=True)
+
+
+def _kernel_bwd_dx_rs(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                      g_ref, rs_ref, dx_ref, ds_ref, db_ref, db2_ref,
+                      drs_ref, dy_ref, mlp_ref, *, eps, n_chunks, n_rows):
+    _kernel_bwd_dx(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   g_ref, dx_ref, ds_ref, db_ref, db2_ref, None,
+                   dy_ref, mlp_ref, eps=eps, n_chunks=n_chunks,
+                   n_rows=n_rows, has_rs=True, rs_ref=rs_ref,
+                   drs_ref=drs_ref)
+
+
+def _kernel_bwd_dx_nors(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        g_ref, dx_ref, ds_ref, db_ref, db2_ref,
+                        dy_ref, *, eps, n_chunks, n_rows):
+    _kernel_bwd_dx(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   g_ref, dx_ref, ds_ref, db_ref, db2_ref, None,
+                   dy_ref, None, eps=eps, n_chunks=n_chunks,
+                   n_rows=n_rows, has_rs=False)
+
+
+def _kernel_bwd_dw(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                   dw1_ref, db1_ref, dw2_ref, *, eps, n_i, n_rows,
+                   rs_ref=None):
+    j, i = pl.program_id(0), pl.program_id(1)
+    R = x_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+
+    x, inv, xn_raw, y_bf, z, h = _recompute(x_ref, s_ref, b_ref, w1_ref,
+                                            b1_ref, eps)
+    rmask = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+             + i * R) < n_rows
+    g32 = jnp.where(rmask, g_ref[:].astype(jnp.float32), 0.0)
+    gy = (jnp.where(rmask, g32 * rs_ref[:], 0.0)
+          if rs_ref is not None else g32)
+    gy_bf = gy.astype(x_ref.dtype)
+    dh = jax.lax.dot_general(
+        gy_bf, w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dz = jnp.where(rmask, dh * _erf_grad(z), 0.0)
+    dz_bf = dz.astype(x_ref.dtype)
+    y_masked = jnp.where(rmask, y_bf.astype(jnp.float32), 0.0).astype(
+        x_ref.dtype)
+    dw1_ref[:] = dw1_ref[:] + jax.lax.dot_general(
+        y_masked, dz_bf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (C, Hc)
+    db1_ref[:] = db1_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
+    h_masked = jnp.where(rmask, h, 0.0).astype(x_ref.dtype)
+    dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
+        h_masked, gy_bf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (Hc, C)
+
+
+def _kernel_bwd_dw_rs(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                      rs_ref, dw1_ref, db1_ref, dw2_ref, *, eps, n_i,
+                      n_rows):
+    _kernel_bwd_dw(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, g_ref,
+                   dw1_ref, db1_ref, dw2_ref, eps=eps, n_i=n_i,
+                   n_rows=n_rows, rs_ref=rs_ref)
+
+
+def _pick_tiles_bwd(rows: int, C: int, H: int, itemsize: int):
+    """(R, Hc) for the bwd kernels' larger live set: double-buffered x/g/dx
+    blocks, f32 dy+mlp scratch and LN temps, weight chunks x2 buffers, and
+    (kernel B) the resident f32 dW1/dW2 blocks."""
+    best = (0, 0)
+    # R capped at 512: R=1024 measured a 564 s Mosaic compile (C=128) and a
+    # compiler crash (C=256); R<=512 compiles in seconds. Budget keeps 25%
+    # headroom — the C=256/R=1024 crash sat exactly at the naive estimate.
+    budget = _MLP_VMEM_BUDGET * 3 // 4
+    for Hc in (H, 2048, 1024, 512, 256, 128):
+        if Hc > H or H % Hc:
+            continue
+        for R in (512, 256, 128, 64, 32, 16, 8):
+            weights = 4 * C * Hc * itemsize        # w1+w2 chunks, 2 buffers
+            wgrads = 2 * C * Hc * 4                # resident dW1+dW2 (f32)
+            act = (R * C * (6 * itemsize + 20)     # x,g,dx x2buf + f32 temps
+                   + 2 * R * Hc * 4)               # hidden-chunk f32 temps
+            if weights + wgrads + act <= budget:
+                if R > best[0] or (R == best[0] and Hc > best[1]):
+                    best = (R, Hc)
+                break
+    return best
+
+
+# default OFF: measured SLOWER than the XLA-recompute vjp on the train
+# step (remat 38.4 vs 40.4 clips/s, no-remat 42.4 vs 45.3) — the dx and
+# dW kernels each recompute LN+fc1 in VMEM, duplicating MXU work that
+# XLA's single fused recompute doesn't pay, and unlike attention there is
+# no layout win to offset it (MLP grads are already layout-clean). Kept
+# as an opt-in measured experiment (CLOVER_MLP_BWD=1), parity-tested.
+_BWD_KERNEL = _os.environ.get("CLOVER_MLP_BWD", "0") == "1"
+
+
+def _backward_pallas(x, scale, bias, w1, b1, w2, b2, row_scale, eps, g):
+    """(dx, dscale, dbias, dw1, db1, dw2, db2[, drs]) or None."""
+    if not _on_tpu() and not _FORCE_PALLAS:
+        return None
+    rows, C = x.shape
+    H = w1.shape[1]
+    R, Hc = _pick_tiles_bwd(rows, C, H, x.dtype.itemsize)
+    if R == 0:
+        return None
+    n_i, n_j = pl.cdiv(rows, R), H // Hc
+    f32 = jnp.float32
+    dt = x.dtype
+    has_rs = row_scale is not None
+
+    x_spec_i = pl.BlockSpec((R, C), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vecC = pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((C, Hc), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    b1_spec = pl.BlockSpec((1, Hc), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((Hc, C), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    rs_spec = pl.BlockSpec((R, 1), lambda i, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    args = [x, scale.astype(f32).reshape(1, C), bias.astype(f32).reshape(1, C),
+            w1.astype(dt), b1.astype(f32).reshape(1, H),
+            w2.astype(dt), b2.astype(f32).reshape(1, C),
+            g.astype(dt)]
+    in_specs = [x_spec_i, vecC, vecC, w1_spec, b1_spec, w2_spec, vecC,
+                x_spec_i]
+    out_specs = [x_spec_i, vecC, vecC, vecC]
+    out_shapes = [jax.ShapeDtypeStruct((rows, C), dt),
+                  jax.ShapeDtypeStruct((1, C), f32),
+                  jax.ShapeDtypeStruct((1, C), f32),
+                  jax.ShapeDtypeStruct((1, C), f32)]
+    scratch = [pltpu.VMEM((R, C), f32)]
+    kwargs = dict(eps=eps, n_chunks=n_j, n_rows=rows)
+    if has_rs:
+        rs32 = row_scale.astype(f32).reshape(rows, 1)
+        args.append(rs32)
+        in_specs.append(rs_spec)
+        out_specs.append(rs_spec)
+        out_shapes.append(jax.ShapeDtypeStruct((rows, 1), f32))
+        scratch.append(pltpu.VMEM((R, C), f32))
+        kern_a = functools.partial(_kernel_bwd_dx_rs, **kwargs)
+    else:
+        kern_a = functools.partial(_kernel_bwd_dx_nors, **kwargs)
+    outs_a = pl.pallas_call(
+        kern_a,
+        grid=(n_i, n_j),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * C * H,
+            bytes_accessed=(3 * rows * C + 2 * C * H) * x.dtype.itemsize,
+            transcendentals=2 * rows * H),
+        interpret=not _on_tpu(),
+    )(*args)
+
+    # kernel B: weight grads, row blocks innermost
+    x_spec_b = pl.BlockSpec((R, C), lambda j, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vecC_b = pl.BlockSpec((1, C), lambda j, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    w1_spec_b = pl.BlockSpec((C, Hc), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM)
+    b1_spec_b = pl.BlockSpec((1, Hc), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM)
+    w2_spec_b = pl.BlockSpec((Hc, C), lambda j, i: (j, 0),
+                             memory_space=pltpu.VMEM)
+    rs_spec_b = pl.BlockSpec((R, 1), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    args_b = args[:6] + [args[7]]          # x, s, b, w1, b1, w2, g
+    in_specs_b = [x_spec_b, vecC_b, vecC_b, w1_spec_b, b1_spec_b, w2_spec_b,
+                  x_spec_b]
+    kwargs_b = dict(eps=eps, n_i=n_i, n_rows=rows)
+    if has_rs:
+        args_b.append(rs32)
+        in_specs_b.append(rs_spec_b)
+        kern_b = functools.partial(_kernel_bwd_dw_rs, **kwargs_b)
+    else:
+        kern_b = functools.partial(_kernel_bwd_dw, **kwargs_b)
+    dw1, db1, dw2 = pl.pallas_call(
+        kern_b,
+        grid=(n_j, n_i),
+        in_specs=in_specs_b,
+        out_specs=(w1_spec_b, b1_spec_b, w2_spec_b),
+        out_shape=(jax.ShapeDtypeStruct((C, H), f32),
+                   jax.ShapeDtypeStruct((1, H), f32),
+                   jax.ShapeDtypeStruct((H, C), f32)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * rows * C * H,
+            bytes_accessed=(2 * rows * C + 2 * C * H) * x.dtype.itemsize,
+            transcendentals=2 * rows * H),
+        interpret=not _on_tpu(),
+    )(*args_b)
+
+    dx, dscale, dbias, db2 = outs_a[:4]
+    result = (dx, dscale.reshape(C).astype(scale.dtype),
+              dbias.reshape(C).astype(bias.dtype),
+              dw1.astype(w1.dtype), db1.reshape(H).astype(b1.dtype),
+              dw2.astype(w2.dtype), db2.reshape(C).astype(b2.dtype))
+    if has_rs:
+        drs = outs_a[4].reshape(row_scale.shape).astype(row_scale.dtype)
+        return result + (drs,)
+    return result + (None,)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_ln_mlp_residual(x, scale, bias, w1, b1, w2, b2, row_scale=None,
                           eps: float = 1e-5):
@@ -301,6 +601,11 @@ def _fwd(x, scale, bias, w1, b1, w2, b2, row_scale, eps):
 
 def _bwd(eps, residuals, g):
     x, scale, bias, w1, b1, w2, b2, row_scale = residuals
+    if _BWD_KERNEL:
+        out = _backward_pallas(x, scale, bias, w1, b1, w2, b2, row_scale,
+                               eps, g)
+        if out is not None:
+            return out
     if row_scale is None:
         _, vjp = jax.vjp(
             lambda *a: _xla_reference(*a, None, eps),

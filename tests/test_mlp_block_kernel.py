@@ -153,3 +153,49 @@ def test_bert_layer_fused_matches_unfused(monkeypatch):
     p2 = layer.init(jax.random.PRNGKey(0), x, None)["params"]
     assert (jax.tree_util.tree_structure(p2)
             == jax.tree_util.tree_structure(params))
+
+
+@pytest.mark.parametrize("with_rs,ragged", [(False, False), (True, False),
+                                            (False, True), (True, True)])
+def test_bwd_kernels_match_xla_grads(with_rs, ragged, monkeypatch):
+    """Fused backward (dx kernel + weight-grad kernel) vs jax.vjp of the
+    XLA reference, incl. partial row blocks and hidden chunking."""
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    monkeypatch.setattr(MB, "_BWD_KERNEL", True)
+    monkeypatch.setattr(MB, "_pick_tiles_bwd",
+                        lambda rows, C, H, i: (16, H // 4))
+    rng = np.random.default_rng(3)
+    rows = 44 if ragged else 48          # 44 % 16 != 0 -> masked tail rows
+    C, H = 64, 256
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    rs = (jnp.asarray((rng.random(rows) > 0.3).astype(np.float32) / 0.7)
+          if with_rs else None)
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+
+    args = (x, scale, bias, w1, b1, w2, b2)
+
+    def loss_fused(*a):
+        return jnp.vdot(MB.fused_ln_mlp_residual(*a, rs), g)
+
+    def loss_ref(*a):
+        return jnp.vdot(MB._xla_reference(*a, rs, 1e-5), g)
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2"]
+    for n, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)
+    if with_rs:
+        grs_f = jax.grad(
+            lambda r: jnp.vdot(MB.fused_ln_mlp_residual(*args, r), g))(rs)
+        grs_r = jax.grad(
+            lambda r: jnp.vdot(MB._xla_reference(*args, r, 1e-5), g))(rs)
+        np.testing.assert_allclose(np.asarray(grs_f), np.asarray(grs_r),
+                                   rtol=2e-4, atol=2e-4, err_msg="drs")
