@@ -22,19 +22,69 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from clover_tpu.data import DataLoader, make_synthetic_retrieval_dataset
 
 
+def _make_real_videos(n: int, frames: int, size: int, tmpdir: str):
+    """Synthesize MJPG .avi clips + jsonl annotations so the REAL decode
+    path (cv2.VideoCapture inside VideoTextDataset) is measurable without
+    downloading data."""
+    import json as _json
+
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    ann_path = os.path.join(tmpdir, "ann.jsonl")
+    with open(ann_path, "w") as f:
+        for i in range(n):
+            path = os.path.join(tmpdir, f"v{i:04d}.avi")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"),
+                                12.0, (size, size))
+            assert w.isOpened()
+            for _ in range(frames * 4):
+                w.write(rng.integers(0, 256, (size, size, 3), np.uint8))
+            w.release()
+            f.write(_json.dumps({"filename": os.path.basename(path),
+                                 "text": f"synthetic clip number {i}"}) + "\n")
+    return ann_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-videos", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--worker-type", default="thread",
+                    choices=["thread", "process"])
     ap.add_argument("--canonical", type=int, default=256)
+    ap.add_argument("--real-video", action="store_true",
+                    help="generate MJPG .avi files and decode them with "
+                    "the OpenCV backend instead of the synthetic backend")
+    ap.add_argument("--video-size", type=int, default=320,
+                    help="encoded frame size for --real-video")
     args = ap.parse_args()
 
-    ds = make_synthetic_retrieval_dataset(
-        n_videos=args.n_videos, num_frames=args.frames,
-        canonical_size=args.canonical, mlm=True, video_mask=True)
-    loader = DataLoader(ds, batch_size=args.batch, num_workers=args.workers)
+    if args.real_video:
+        import tempfile
+
+        from clover_tpu.data.datasets import VideoTextDataset
+        from clover_tpu.data.tokenization import BertTokenizer, build_test_vocab
+
+        tmpdir = tempfile.mkdtemp(prefix="clover_vidbench_")
+        ann = _make_real_videos(args.n_videos, args.frames, args.video_size,
+                                tmpdir)
+        tok = BertTokenizer(build_test_vocab(
+            ["synthetic", "clip", "number"] + [str(i) for i in range(10)]))
+        ds = VideoTextDataset(
+            ann_file=ann, data_prefix=tmpdir, tokenizer=tok,
+            backend="opencv", num_frames=args.frames,
+            canonical_size=args.canonical, max_length=12,
+            mlm=True, video_mask=True)
+    else:
+        ds = make_synthetic_retrieval_dataset(
+            n_videos=args.n_videos, num_frames=args.frames,
+            canonical_size=args.canonical, mlm=True, video_mask=True)
+    loader = DataLoader(ds, batch_size=args.batch, num_workers=args.workers,
+                        worker_type=args.worker_type)
 
     # warm epoch
     for _ in loader.epoch(0):
@@ -50,8 +100,10 @@ def main():
         "clips": n,
         "seconds": round(dt, 3),
         "workers": args.workers,
+        "worker_type": args.worker_type,
         "frames": args.frames,
         "canonical": args.canonical,
+        "backend": "opencv-mjpg" if args.real_video else "synthetic",
     }))
 
 
