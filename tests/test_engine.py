@@ -184,3 +184,39 @@ def test_ema_params_update(retrieval_setup):
     o = jax.tree_util.tree_leaves(orig)[0]
     assert not np.allclose(np.asarray(e), np.asarray(p))
     assert not np.allclose(np.asarray(e), np.asarray(o))
+
+
+def test_contrastive_alignment_learns(retrieval_setup):
+    """Overfit the 8 (video, caption) pairs for ~happens-fast steps and
+    check retrieval recall on those pairs rises far above chance — the
+    end-to-end signal that the NCE loss + grads + optimizer actually
+    align the two towers (chance R@1 = 12.5%)."""
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    params = _copy(params)
+    tx, _ = make_optimizer(params, base_lr=3e-3, total_steps=200,
+                           warmup_steps=5, weight_decay=0.0,
+                           grad_clip_norm=5.0)
+    state = TrainState.create(params, tx)
+    step_fn = make_retrieval_train_step(model, temperature=0.1)
+    rng = jax.random.PRNGKey(2)
+    for epoch in range(25):
+        for batch in loader.epoch(epoch):
+            state, metrics = step_fn(state, to_model_batch(batch), rng)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # embed every (video, caption) pair with the trained params
+    vs, ts = [], []
+    for batch in loader.epoch(0):
+        mb = to_model_batch(batch)
+        v, t = model.apply({"params": state.params}, mb["imgs"],
+                           mb["token_ids"][:, 0], mb["input_mask"][:, 0],
+                           method="forward_test")
+        vs.append(np.asarray(v, np.float32))
+        ts.append(np.asarray(t, np.float32))
+    v = np.concatenate(vs)
+    t = np.concatenate(ts)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    sim = t @ v.T
+    r1 = float(np.mean(sim.argmax(-1) == np.arange(len(sim))))
+    assert r1 >= 0.5, f"t2v R@1 after overfit = {r1} (chance 0.125)"
