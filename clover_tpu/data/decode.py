@@ -106,10 +106,13 @@ class RawFrameBackend:
 
 
 class SyntheticVideoBackend:
-    """Deterministic procedural frames keyed by path hash — no IO.
+    """Deterministic procedural frames keyed by a stable path digest — no IO.
 
     Used by CI, unit tests, and input-pipeline benchmarks; every "video"
-    has a stable length and content derived from its name.
+    has a stable length and content derived from its name.  Content is
+    keyed by ``zlib.crc32`` — NOT Python's ``hash()``, whose per-process
+    salt would make "the same video" differ between runs (a flaky-test /
+    reproducibility trap; see tests/test_data.py determinism pin).
     """
 
     def __init__(self, height: int = 240, width: int = 320, length: int = 64):
@@ -119,9 +122,28 @@ class SyntheticVideoBackend:
         return self.length
 
     def decode(self, path: str, frame_indices: Sequence[int]) -> np.ndarray:
-        seed = abs(hash(path)) % (2 ** 31)
+        import zlib
+
+        seed = zlib.crc32(path.encode("utf-8")) % (2 ** 31)
         rng = np.random.default_rng(seed)
-        base = rng.integers(0, 256, size=(self.height, self.width, 3), dtype=np.uint8)
+        # Structured, per-video low-frequency content (color + sinusoid
+        # pattern), not iid noise: downsampling averages iid noise into
+        # near-identical frames, which collapses contrastive training on
+        # synthetic data (learning tests would be testing nothing).
+        yy, xx = np.meshgrid(
+            np.linspace(0.0, 1.0, self.height),
+            np.linspace(0.0, 1.0, self.width), indexing="ij")
+        color = rng.uniform(40.0, 215.0, size=3)
+        fx, fy = rng.integers(1, 5, size=2)
+        px, py = rng.uniform(0.0, 1.0, size=2)
+        pattern = (np.sin(2 * np.pi * (fx * xx + px))
+                   * np.sin(2 * np.pi * (fy * yy + py)))
+        amp = rng.uniform(40.0, 90.0, size=3)
+        base = np.clip(
+            color[None, None]
+            + pattern[..., None] * amp[None, None]
+            + rng.normal(0.0, 12.0, size=(self.height, self.width, 3)),
+            0, 255).astype(np.uint8)
         frames = []
         for idx in frame_indices:
             # time-varying roll keeps frames distinct but cheap

@@ -3,6 +3,7 @@ from clover_tpu.engine.eval_loop import run_qa_eval, run_retrieval_eval  # noqa:
 from clover_tpu.engine.optim import (  # noqa: F401
     cosine_warmup_schedule,
     freeze_by_prefix,
+    freeze_mask_from_cfg,
     make_optimizer,
     weight_decay_mask,
 )

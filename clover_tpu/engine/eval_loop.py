@@ -27,22 +27,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _host_gather(*arrays):
-    """Concatenate per-process eval results across hosts.
+def _pad_rows(a: np.ndarray, max_n: int) -> np.ndarray:
+    """Zero-pad the leading dim of ``a`` up to ``max_n`` rows."""
+    if a.shape[0] == max_n:
+        return a
+    pad = np.zeros((max_n - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad], axis=0)
 
-    Identity in single-process runs. Multi-host: every process must
-    contribute equally-shaped arrays — guaranteed by the ShardedSampler's
-    pad-to-divisible protocol (clover_tpu/data/loader.py), whose duplicate
-    entries the caller's index-dedup then removes.
+
+def _strip_rank_padding(stacked: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(world, max_n, ...) stacked padded shards -> concatenation of each
+    rank's first counts[r] real rows (the reference's varied-gather unpad,
+    gather_loss.py:52-59)."""
+    return np.concatenate(
+        [stacked[r, : int(counts[r])] for r in range(len(counts))], axis=0)
+
+
+def _host_gather(*arrays):
+    """Concatenate per-process eval results across hosts (ragged-safe).
+
+    Identity in single-process runs. Multi-host: a pad+count protocol —
+    processes exchange their row counts, zero-pad to the max, all-gather,
+    and strip each rank's padding — so per-process result counts may
+    differ (the reference's VariedShapeGatherLoss contract,
+    gather_loss.py:25-70, applied to eval collection). The ShardedSampler's
+    pad-to-divisible protocol makes counts equal in practice; this path no
+    longer depends on that.
     """
     if jax.process_count() == 1:
         return arrays if len(arrays) > 1 else arrays[0]
     from jax.experimental import multihost_utils
 
-    out = [
-        np.asarray(multihost_utils.process_allgather(a, tiled=True))
-        for a in arrays
-    ]
+    n_local = int(np.asarray(arrays[0]).shape[0])
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray(n_local)))
+    max_n = int(counts.max())
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        assert a.shape[0] == n_local, (
+            f"all gathered arrays must share the leading dim "
+            f"({a.shape[0]} != {n_local})")
+        stacked = np.asarray(
+            multihost_utils.process_allgather(_pad_rows(a, max_n)))
+        out.append(_strip_rank_padding(stacked, counts))
     return out if len(out) > 1 else out[0]
 
 from clover_tpu.evaluation.metrics import (

@@ -163,3 +163,26 @@ def freeze_by_prefix(params, prefixes: Tuple[str, ...]) -> Any:
         return not any(joined.startswith(p) for p in prefixes)
 
     return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def freeze_mask_from_cfg(params, freeze_stage, freeze_except=()) -> Any:
+    """Bool mask (True = trainable) from the reference's freeze config keys.
+
+    Reference semantics (recognizers/base.py:138-163; config keys in every
+    exp_local/*.py): ``freeze_stage`` entries are SUBSTRING matches on
+    module names, ``freeze_except`` entries exempt matching names and win
+    over freeze_stage.  Paths here are '/'-joined flax param paths, e.g.
+    'backbone/patch_embed' or 'text_backbone' — dots in configs are
+    normalized to '/' so reference-style 'backbone.patch_embed.' keys
+    also work.
+    """
+    stage = tuple(s.replace(".", "/").strip("/") for s in (freeze_stage or ()))
+    exempt = tuple(s.replace(".", "/").strip("/") for s in (freeze_except or ()))
+
+    def decide(path: Tuple, _leaf) -> bool:
+        joined = "/".join(getattr(p, "key", str(p)) for p in path)
+        if any(e in joined for e in exempt):
+            return True
+        return not any(s in joined for s in stage)
+
+    return jax.tree_util.tree_map_with_path(decide, params)

@@ -93,6 +93,47 @@ def norm_softmax_loss_sharded(
     return jax.lax.psum(local, axis_name) / B
 
 
+def norm_softmax_loss_sharded_varied(
+    v_local: jax.Array,
+    t_local: jax.Array,
+    n_valid: jax.Array,
+    axis_name: str,
+    temperature: float = 0.07,
+) -> jax.Array:
+    """NormSoftmaxLoss inside shard_map with per-device *ragged* batches.
+
+    The reference's VariedShapeGatherLoss path (gather_loss.py:25-70 feeding
+    NormSoftmaxLoss): per-rank batch sizes may differ. Local shards arrive
+    padded to a common static ``max_n`` with ``n_valid`` real rows; padded
+    keys are masked out of every softmax and padded queries contribute
+    nothing. Equal to the single-device loss over the concatenated valid
+    rows (pinned by tests/test_multihost_gather.py).
+    """
+    from clover_tpu.parallel.collectives import all_gather_varied
+
+    vl = cos_norm(v_local.astype(jnp.float32))
+    tl = cos_norm(t_local.astype(jnp.float32))
+    v_all, key_mask = all_gather_varied(vl, n_valid, axis_name)
+    t_all, _ = all_gather_varied(tl, n_valid, axis_name)
+    max_n = vl.shape[0]
+    local_valid = jnp.arange(max_n) < n_valid
+    gidx = jax.lax.axis_index(axis_name) * max_n + jnp.arange(max_n)
+    # psum, not sum(key_mask): psum output is statically known to be
+    # replicated (all_gather's is not tracked as such by shard_map's vma
+    # check), so the loss value can carry an out_spec of P()
+    n_total = jax.lax.psum(jnp.asarray(n_valid, jnp.float32), axis_name)
+
+    def masked_diag_sum(queries, keys):
+        logits = queries @ keys.T / temperature
+        logits = jnp.where(key_mask[None, :], logits, -1e9)
+        rows = jax.nn.log_softmax(logits, axis=1)
+        diag = jnp.take_along_axis(rows, gidx[:, None], axis=1)[:, 0]
+        return jnp.sum(jnp.where(local_valid, diag, 0.0))
+
+    local = -(masked_diag_sum(vl, t_all) + masked_diag_sum(tl, v_all))
+    return jax.lax.psum(local, axis_name) / n_total
+
+
 def margin_ranking_loss(x1: jax.Array, x2: jax.Array, margin: float) -> jax.Array:
     """mean(max(0, margin - (x1 - x2))) — torch MarginRankingLoss with y=1."""
     return jnp.mean(jnp.maximum(0.0, margin - (x1 - x2)))

@@ -1,5 +1,7 @@
 """Data-layer tests: tokenizer, masking engines, sampling, datasets, loader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -175,6 +177,35 @@ def test_synthetic_dataset_and_loader():
     # same epoch same data
     again = list(DataLoader(ds, batch_size=4, num_workers=2, seed=0).epoch(0))
     np.testing.assert_array_equal(b["imgs"], again[0]["imgs"])
+
+
+def test_synthetic_backend_cross_process_deterministic():
+    """Synthetic content must not depend on Python's per-process hash salt
+    (the round-1 flake: abs(hash(path)) made every pytest run train on
+    different videos). Pin: a subprocess with a different PYTHONHASHSEED
+    produces bit-identical frames."""
+    import subprocess
+    import sys
+
+    from clover_tpu.data.decode import SyntheticVideoBackend
+
+    b = SyntheticVideoBackend(height=16, width=24, length=4)
+    here = b.decode("synthetic_video_3.mp4", [0, 2])
+    code = (
+        "import numpy as np;"
+        "from clover_tpu.data.decode import SyntheticVideoBackend;"
+        "b = SyntheticVideoBackend(height=16, width=24, length=4);"
+        "f = b.decode('synthetic_video_3.mp4', [0, 2]);"
+        "print(int(f.sum()), f.shape)"
+    )
+    env = dict(os.environ, PYTHONHASHSEED="12345", JAX_PLATFORMS="cpu")
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.split()[0] == str(int(here.sum()))
 
 
 def test_test_mode_expands_captions():

@@ -15,6 +15,7 @@ from clover_tpu.engine import (
     TrainState,
     cosine_warmup_schedule,
     freeze_by_prefix,
+    freeze_mask_from_cfg,
     make_embed_eval_step,
     make_optimizer,
     make_retrieval_train_step,
@@ -78,6 +79,56 @@ def test_freeze_by_prefix():
     mask = freeze_by_prefix(params, ("text_backbone",))
     assert mask["text_backbone"]["w"] is False
     assert mask["backbone"]["w"] is True
+
+
+def test_freeze_mask_from_cfg_substring_and_except():
+    # reference semantics: substring match, except-list wins
+    # (recognizers/base.py:138-163); dot-style reference keys normalized
+    params = {
+        "backbone": {"patch_embed": {"w": np.zeros(2)},
+                     "layers_3": {"w": np.zeros(2)}},
+        "text_backbone": {"w": np.zeros(2)},
+    }
+    mask = freeze_mask_from_cfg(
+        params, freeze_stage=("backbone.",), freeze_except=("layers_3",))
+    assert mask["backbone"]["patch_embed"]["w"] is False
+    assert mask["backbone"]["layers_3"]["w"] is True
+    # 'backbone' substring also catches text_backbone — same as reference
+    assert mask["text_backbone"]["w"] is False
+
+
+def test_frozen_params_bit_identical_after_steps(retrieval_setup):
+    """freeze_stage plumbing end-to-end: frozen backbone params must be
+    bit-identical after optimizer steps while trainable params move."""
+    from clover_tpu.engine import freeze_mask_from_cfg
+
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    params = _copy(params)
+    before = jax.tree_util.tree_map(np.asarray, params)
+    mask = freeze_mask_from_cfg(params, freeze_stage=("backbone/",))
+    tx, _ = make_optimizer(params, base_lr=1e-2, total_steps=20,
+                           warmup_steps=0, weight_decay=0.01,
+                           grad_clip_norm=5.0, freeze_mask=mask)
+    state = TrainState.create(params, tx)
+    step_fn = make_retrieval_train_step(model)
+    batch = to_model_batch(next(iter(loader)))
+    for _ in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+
+    flat_before = jax.tree_util.tree_leaves_with_path(before)
+    after = {"/".join(getattr(p, "key", str(p)) for p in path): leaf
+             for path, leaf in
+             jax.tree_util.tree_leaves_with_path(state.params)}
+    froze, moved = 0, 0
+    for path, b in flat_before:
+        key = "/".join(getattr(p, "key", str(p)) for p in path)
+        a = np.asarray(after[key])
+        if key.startswith("backbone/"):
+            np.testing.assert_array_equal(a, b, err_msg=key)
+            froze += 1
+        elif not np.array_equal(a, b):
+            moved += 1
+    assert froze > 0 and moved > 0
 
 
 @pytest.fixture(scope="module")

@@ -94,6 +94,54 @@ def test_shard_map_sharded_loss_grad_matches(mesh):
     np.testing.assert_allclose(g_sm["wt"], g_ref["wt"], rtol=1e-4, atol=1e-6)
 
 
+def test_varied_sharded_loss_matches_compact_reference(mesh):
+    """Ragged per-device batches (reference VariedShapeGatherLoss,
+    gather_loss.py:25-70): the padded+masked sharded loss must equal the
+    single-device loss over the compacted valid rows — value AND grads,
+    with exactly zero gradient on padding rows."""
+    from clover_tpu.losses.contrastive import norm_softmax_loss_sharded_varied
+
+    rng = np.random.default_rng(3)
+    world, max_n, D = 8, 3, 8
+    counts = np.array([3, 1, 2, 3, 2, 1, 3, 2], np.int32)
+    v_pad = rng.normal(size=(world * max_n, D)).astype(np.float32)
+    t_pad = rng.normal(size=(world * max_n, D)).astype(np.float32)
+    valid = (np.arange(max_n)[None, :] < counts[:, None]).reshape(-1)
+    params = {
+        "wv": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) * 0.3,
+        "wt": jnp.asarray(rng.normal(size=(D, D)).astype(np.float32)) * 0.3,
+    }
+
+    def ref_loss(p, v, t):
+        return norm_softmax_loss(v @ p["wv"], t @ p["wt"], temperature=0.1,
+                                 cos_sim=True)
+
+    ref_val = ref_loss(params, jnp.asarray(v_pad[valid]), jnp.asarray(t_pad[valid]))
+    g_ref = jax.grad(ref_loss)(params, jnp.asarray(v_pad[valid]),
+                               jnp.asarray(t_pad[valid]))
+
+    def local_loss(p, vl, tl, n):
+        return norm_softmax_loss_sharded_varied(
+            vl @ p["wv"], tl @ p["wt"], n[0], "data", temperature=0.1)
+
+    sharded = jax.shard_map(
+        jax.value_and_grad(local_loss, argnums=(0, 1)),
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=(P(), (P(), P("data"))),
+    )
+    val, (g_sm, g_v) = jax.jit(sharded)(
+        params, jnp.asarray(v_pad), jnp.asarray(t_pad), jnp.asarray(counts))
+
+    np.testing.assert_allclose(val, ref_val, rtol=1e-5)
+    np.testing.assert_allclose(g_sm["wv"], g_ref["wv"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(g_sm["wt"], g_ref["wt"], rtol=1e-4, atol=1e-6)
+    # padding rows must receive exactly zero input gradient
+    g_v = np.asarray(g_v)
+    assert np.all(g_v[~valid] == 0.0)
+    assert np.any(g_v[valid] != 0.0)
+
+
 def test_exclusive_nce_under_pjit(mesh):
     rng = np.random.default_rng(2)
     B, D = 16, 8

@@ -102,8 +102,13 @@ def main():
             f"parallel fsdp*model*sequence={nondata} must divide the "
             f"device count {n_dev}")
     data_axis = n_dev // nondata
-    while batch_size % data_axis:
-        data_axis -= 1
+    if batch_size % data_axis:
+        # never silently shrink the mesh: an 8-device run with batch 12
+        # would otherwise quietly train on 6 chips
+        raise SystemExit(
+            f"batch_size {batch_size} must be divisible by the data axis "
+            f"size {data_axis} ({n_dev} devices / fsdp*model*sp={nondata}); "
+            f"adjust data.train_loader.batch_size or the parallel section")
     n_used = data_axis * nondata
     slice_ids = {getattr(d, "slice_index", 0) for d in jax.devices()}
     if len(slice_ids) > 1 and n_used == n_dev:
@@ -226,6 +231,20 @@ def main():
     steps_per_epoch = max(len(ld) for ld in loaders) * len(loaders)
     total_steps = steps_per_epoch * cfg.total_epochs
     warmup_epochs = sched_cfg.get("warmup_epochs", 0)
+    # freeze_stage / freeze_except (reference recognizers/base.py:138-163;
+    # substring match on param paths, except-list wins)
+    freeze_stage = cfg.model.get("freeze_stage")
+    freeze_mask = None
+    if freeze_stage:
+        from clover_tpu.engine.optim import freeze_mask_from_cfg
+
+        freeze_mask = freeze_mask_from_cfg(
+            params, freeze_stage, cfg.model.get("freeze_except", ()))
+        n_frozen = sum(
+            int(not m) for m in jax.tree_util.tree_leaves(freeze_mask))
+        logger.info("freeze_stage %s (except %s): %d/%d param tensors frozen",
+                    freeze_stage, cfg.model.get("freeze_except", ()), n_frozen,
+                    len(jax.tree_util.tree_leaves(freeze_mask)))
     tx, lr_sched = make_optimizer(
         params,
         base_lr=opt_cfg.get("lr", 1e-4),
@@ -237,6 +256,7 @@ def main():
         grad_clip_norm=opt_cfg.get("grad_clip", None),
         min_lr_ratio=sched_cfg.get("min_lr_ratio", 0.0),
         warmup_start_ratio=sched_cfg.get("warmup_start_ratio", 0.001),
+        freeze_mask=freeze_mask,
     )
     ema_cfg = cfg.get("ema", {})
     state = TrainState.create(
