@@ -143,8 +143,63 @@ def content_word_mask(
     return _apply_801010(ids, selected, tokenizer, rng)
 
 
+def pos_content_word_mask(
+    ids: np.ndarray,
+    tokenizer: BertTokenizer,
+    rng: np.random.Generator,
+    mlm_probability: float = 0.15,
+    max_predictions: int = 20,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Scene-graph-style masking via the in-repo POS tagger.
+
+    Reference: _whole_word_mask_with_scene_graph + scene_graph_parser_obj_verb
+    (loading.py:226-288,340-390) — select NOUN/PROPN words and verb-phrase
+    spans (spaCy pattern VERB? ADV* AUX* VERB+), shuffle the selected word
+    groups, and mask ``round(len(selected) * p)`` whole groups (counted in
+    WORDS, not tokens — the reference's ``count += 1`` per group), then
+    apply the 80/10/10 split. Falls back to whole-word masking when the
+    tagger finds no content words (the reference would silently mask
+    nothing there, which feeds an empty index set to the MLM loss —
+    intentional divergence, documented).
+    """
+    from clover_tpu.data.pos_tagger import content_word_indices
+
+    groups = _word_groups(ids, tokenizer)
+    if not groups:
+        return _apply_801010(ids, [], tokenizer, rng)
+
+    def group_word(g: List[int]) -> str:
+        parts = []
+        for pos in g:
+            tok = tokenizer.inv_vocab.get(int(ids[pos]), "")
+            parts.append(tok[2:] if tok.startswith("##") else tok)
+        return "".join(parts)
+
+    words = [group_word(g) for g in groups]
+    picked = [groups[i] for i in content_word_indices(words)]
+    if not picked:
+        return whole_word_mask(ids, tokenizer, rng, mlm_probability,
+                               max_predictions)
+    rng.shuffle(picked)
+    num_to_predict = min(max_predictions,
+                         max(1, round(len(picked) * mlm_probability)))
+    selected: List[int] = []
+    covered: set = set()
+    count = 0
+    for g in picked:
+        if count >= num_to_predict:
+            break
+        if any(pos in covered for pos in g):
+            continue
+        covered.update(g)
+        selected.extend(g)
+        count += 1
+    return _apply_801010(ids, selected, tokenizer, rng)
+
+
 MASK_ENGINES = {
     "hf_style": hf_style_mask,
     "whole_word": whole_word_mask,
     "content_word": content_word_mask,
+    "pos_content_word": pos_content_word_mask,
 }

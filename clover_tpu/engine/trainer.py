@@ -58,6 +58,7 @@ class Trainer:
         ckpt_interval: int = 1,
         ckpt_manager: Optional[CheckpointManager] = None,
         ema_eval: bool = False,
+        tensorboard: bool = False,
     ):
         assert len(train_steps) == len(train_loaders)
         self.state = state
@@ -66,7 +67,7 @@ class Trainer:
         self.batch_to_device = batch_to_device
         self.rng = rng
         self.total_epochs = total_epochs
-        self.metrics = MetricsLogger(work_dir)
+        self.metrics = MetricsLogger(work_dir, tensorboard=tensorboard)
         self.log_interval = log_interval
         self.eval_fn = eval_fn
         self.eval_interval = eval_interval

@@ -30,12 +30,19 @@ def get_logger(name: str = "clover_tpu", level: int = logging.INFO) -> logging.L
 
 
 class MetricsLogger:
-    def __init__(self, work_dir: Optional[str] = None, filename: str = "metrics.jsonl"):
+    def __init__(self, work_dir: Optional[str] = None,
+                 filename: str = "metrics.jsonl", tensorboard: bool = False):
         self.logger = get_logger()
         self._fh = None
+        self._tb = None
         if work_dir:
             os.makedirs(work_dir, exist_ok=True)
             self._fh = open(os.path.join(work_dir, filename), "a")
+            if tensorboard:
+                # reference TensorboardLoggerHook (default_runtime.py:2-7)
+                from clover_tpu.utils.tensorboard import TensorBoardWriter
+
+                self._tb = TensorBoardWriter(os.path.join(work_dir, "tb"))
 
     def log(self, payload: Dict[str, Any], step: Optional[int] = None,
             prefix: str = "") -> None:
@@ -49,6 +56,11 @@ class MetricsLogger:
         if self._fh:
             self._fh.write(json.dumps(clean) + "\n")
             self._fh.flush()
+        if self._tb is not None and step is not None:
+            self._tb.add_scalars(
+                {k: v for k, v in clean.items()
+                 if k not in ("step", "time") and isinstance(v, float)},
+                step, prefix=prefix.strip() and prefix.strip() + "/" or "")
         shown = ", ".join(
             f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in clean.items() if k != "time")
@@ -57,6 +69,8 @@ class MetricsLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def param_table(params) -> str:

@@ -33,7 +33,7 @@ data = dict(
             canonical_size=256,
             max_length=30,
             mlm=True,
-            mask_engine="content_word",
+            mask_engine="pos_content_word",
             video_mask=True,
             video_mask_grid=7,
             num_masking_patches=10,
@@ -47,7 +47,7 @@ data = dict(
             canonical_size=256,
             max_length=30,
             mlm=True,
-            mask_engine="content_word",
+            mask_engine="pos_content_word",
             video_mask=True,
             video_mask_grid=7,
             num_masking_patches=10,

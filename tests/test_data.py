@@ -179,6 +179,57 @@ def test_synthetic_dataset_and_loader():
     np.testing.assert_array_equal(b["imgs"], again[0]["imgs"])
 
 
+def test_pos_tagger_caption_selections():
+    """The tagger's picks on sample captions must match the reference's
+    scene-graph noun + verb-phrase selections (loading.py:226-288)."""
+    from clover_tpu.data.pos_tagger import content_word_indices, tag_words
+
+    words = "a man is playing a guitar on the street".split()
+    picked = {words[i] for i in content_word_indices(words)}
+    # nouns + verb phrase ('is playing' — AUX before VERB is in the span)
+    assert picked == {"man", "guitar", "street", "is", "playing"}
+
+    words2 = "the small dog quickly runs through the green park".split()
+    picked2 = {words2[i] for i in content_word_indices(words2)}
+    # adjectives are NEVER selected (reference attr list stays empty)
+    assert picked2 == {"dog", "quickly", "runs", "park"}
+
+    words3 = "two women cut vegetables in a kitchen".split()
+    picked3 = {words3[i] for i in content_word_indices(words3)}
+    assert picked3 == {"women", "vegetables", "kitchen", "cut"}
+
+    tags = tag_words("she opened the wooden door".split())
+    assert tags == ["PRON", "VERB", "DET", "ADJ", "NOUN"]
+
+
+def test_pos_content_word_mask_selects_content(tok):
+    from clover_tpu.data.text_masking import pos_content_word_mask
+
+    rng = np.random.default_rng(5)
+    enc = tok.encode("the dog runs quickly in the park", max_length=20)
+    stop_ids = {int(i) for i in enc["token_ids"]
+                if tok.inv_vocab.get(int(i), "") in ("the", "in")}
+    for _ in range(20):
+        _, label = pos_content_word_mask(enc["token_ids"], tok, rng,
+                                         mlm_probability=0.5)
+        pos = np.where(label != IGNORE_INDEX)[0]
+        assert len(pos) >= 1
+        # only noun/verb-phrase words ever masked — never 'the'/'in'
+        assert all(int(label[p]) not in stop_ids for p in pos)
+
+
+def test_pos_content_word_mask_whole_word_fallback(tok):
+    """Captions with zero content words fall back to whole-word masking
+    (documented divergence: the reference would mask nothing)."""
+    from clover_tpu.data.text_masking import pos_content_word_mask
+
+    rng = np.random.default_rng(6)
+    enc = tok.encode("the the the", max_length=10)
+    _, label = pos_content_word_mask(enc["token_ids"], tok, rng,
+                                     mlm_probability=0.5)
+    assert (label != IGNORE_INDEX).any()
+
+
 def test_synthetic_backend_cross_process_deterministic():
     """Synthetic content must not depend on Python's per-process hash salt
     (the round-1 flake: abs(hash(path)) made every pytest run train on

@@ -35,6 +35,9 @@ def parse_args():
                         "ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of training into DIR")
+    p.add_argument("--tb", action="store_true",
+                   help="write TensorBoard event files to work_dir/tb "
+                        "(also enabled by cfg log_tensorboard=True)")
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args()
 
@@ -320,6 +323,7 @@ def main():
         ckpt_interval=cfg.get("checkpoint", {}).get("interval", 1),
         ckpt_manager=ckpt_mgr,
         ema_eval=ema_cfg.get("eval_with_ema", False),
+        tensorboard=args.tb or cfg.get("log_tensorboard", False),
     )
     if args.resume:
         trainer.resume()
