@@ -28,15 +28,28 @@ from clover_tpu.utils.logging import MetricsLogger
 
 def interleave_loaders(loaders: Sequence, epoch: int):
     """Yield (loader_idx, batch) one per loader per step; shorter loaders
-    restart, epoch length = longest loader."""
+    restart, epoch length = longest loader (reference
+    MyEpochBasedMultiDatasetRunner, clover_runner.py:76-93).
+
+    Re-iteration uses a per-loader sub-epoch counter folded into the
+    shuffle seed as ``epoch * n_loaders_restarts`` would collide; instead
+    each restart r of loader li draws epoch key ``(epoch, li, r)`` hashed
+    into a disjoint int — exact even for real epochs >= 1000, and each
+    restart gets a fresh deterministic order."""
+    import zlib
+
     iters = [iter(ld.epoch(epoch)) for ld in loaders]
     lengths = [len(ld) for ld in loaders]
+    restarts = [0] * len(loaders)
     for _ in range(max(lengths)):
         for li, ld in enumerate(loaders):
             try:
                 batch = next(iters[li])
             except StopIteration:
-                iters[li] = iter(ld.epoch(epoch + 1000))  # re-iterate, new order
+                restarts[li] += 1
+                sub = zlib.crc32(
+                    f"{epoch}:{li}:{restarts[li]}".encode()) % (2 ** 31)
+                iters[li] = iter(ld.epoch(sub))  # re-iterate, fresh order
                 batch = next(iters[li])
             yield li, batch
 

@@ -148,29 +148,30 @@ class BertLayer(nn.Module):
         x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
                        name="attention_norm")(x + attn, deterministic)
 
+        if deterministic and _BERT_FUSED_MLP:
+            from clover_tpu.models.layers import DenseParams, LayerNormParams
+            from clover_tpu.ops.mlp_block import fused_mlp_postln
+
+            # declare the three submodules' params at their canonical
+            # paths (checkpoint-identical to the nn.Dense path, pinned by
+            # tests) without dummy compute or scope internals
+            C = cfg.hidden_size
+            k_i, b_i = DenseParams(C, cfg.intermediate_size,
+                                   kernel_init=init, name="intermediate")()
+            k_o, b_o = DenseParams(cfg.intermediate_size, C,
+                                   kernel_init=init, name="output")()
+            scale, bias = LayerNormParams(C, name="output_norm")()
+            out = fused_mlp_postln(
+                x.reshape(-1, C), scale, bias, k_i, b_i, k_o, b_o,
+                cfg.layer_norm_eps)
+            return out.reshape(x.shape)
+
         inter = dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,
                       name="intermediate")
         out_d = dense(cfg.hidden_size, dtype=self.dtype, kernel_init=init,
                       name="output")
         out_norm = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
                               name="output_norm")
-        if deterministic and _BERT_FUSED_MLP:
-            from clover_tpu.ops.mlp_block import fused_mlp_postln
-
-            # materialize params at their canonical paths with a 1-row call
-            # (DCE'd in apply), then hand their values to the kernel
-            xd = x[:1, :1]
-            _ = out_norm(xd + out_d(nn.gelu(inter(xd), approximate=False)))
-            p_i = self.scope.get_variable("params", "intermediate")
-            p_o = self.scope.get_variable("params", "output")
-            p_n = self.scope.get_variable("params", "output_norm")
-            C = x.shape[-1]
-            out = fused_mlp_postln(
-                x.reshape(-1, C), p_n["scale"], p_n["bias"],
-                p_i["kernel"], p_i["bias"], p_o["kernel"], p_o["bias"],
-                cfg.layer_norm_eps)
-            return out.reshape(x.shape)
-
         h = nn.gelu(inter(x), approximate=False)
         h = out_d(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)

@@ -100,6 +100,47 @@ def layer_norm(*, eps: float = 1e-5, dtype: Dtype = jnp.float32,
     return LayerNormAuto(epsilon=eps, dtype=dtype, name=name)
 
 
+class DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel/bias, fp32) at the
+    canonical child path WITHOUT running the layer.
+
+    Used by fused-kernel paths that consume raw param values: declaring
+    through a child module keeps the param tree identical to the nn.Dense
+    path (checkpoint/TP-sharding compatible) while avoiding the fragile
+    dummy-call + scope.get_variable pattern (which relies on XLA DCE and
+    Flax scope internals that can break under lifted transforms)."""
+
+    in_features: int
+    features: int
+    kernel_init: Callable = trunc_normal_init
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init,
+                       (self.in_features, self.features), jnp.float32)
+        if not self.use_bias:
+            return k, None
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+class LayerNormParams(nn.Module):
+    """Declares LayerNorm scale/bias (fp32) at the canonical child path
+    without running the norm — see DenseParams."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return scale, bias
+
+
 class Mlp(nn.Module):
     """Transformer MLP: fc1 -> GELU -> drop -> fc2 -> drop.
 

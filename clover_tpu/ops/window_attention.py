@@ -921,23 +921,32 @@ def _forward_flat_flash(qkv, bias, mask, scale, num_heads):
     )(qkv, qkv_keys, bias_t, mask_t)
 
 
-def _xla_flat_reference(qkv, bias, mask, scale, num_heads):
+def _xla_flat_reference(qkv, bias, mask, scale, num_heads,
+                        fp32_logits: bool = False):
     """XLA math for the flat kernel (bwd recompute, CPU path, fallback).
 
-    Matches 'xla_headloop' exactly, including logits staying in the input
-    dtype: materializing fp32 logits in HBM was measured SLOWER (36.5 vs
-    57.8 clips/s at 32-frame eval — double the traffic of the step's
-    dominant tensor), the same anti-optimization BASELINE.md records for
-    the batched-einsum path."""
+    With ``fp32_logits=False`` matches 'xla_headloop' exactly, including
+    logits staying in the input dtype: materializing fp32 logits in HBM
+    was measured SLOWER (36.5 vs 57.8 clips/s at 32-frame eval — double
+    the traffic of the step's dominant tensor), the same anti-optimization
+    BASELINE.md records for the batched-einsum path.
+
+    ``fp32_logits=True`` reproduces the Pallas kernel's numerics instead
+    (fp32 logit accumulation in VMEM, never rounded to bf16 before the
+    softmax) — used by _flat_bwd's recompute when the forward ran the
+    kernel but the bwd kernel is shape-infeasible, so gradients correspond
+    to the math the executed forward actually did."""
     Bn, N, threeC = qkv.shape
     C = threeC // 3
     hd = C // num_heads
+    acc = jnp.float32 if fp32_logits else None
     outs = []
     for h in range(num_heads):
         q = qkv[:, :, h * hd:(h + 1) * hd]
         k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
         v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        logits = jnp.einsum("bqd,bkd->bqk", q * scale, k)
+        logits = jnp.einsum("bqd,bkd->bqk", q * scale, k,
+                            preferred_element_type=acc)
         logits = logits + bias[h][None].astype(logits.dtype)
         if mask is not None:
             nW = mask.shape[0]
@@ -1098,6 +1107,12 @@ def flat_window_attention(qkv, bias, mask, scale, num_heads):
     Head slicing happens in VMEM; logits never touch HBM; dots run in the
     input dtype with fp32 accumulation (matching 'xla_headloop' numerics).
     Returns (Bn, N, C) in qkv.dtype.
+
+    CONTRACT — ``mask`` gradient is always ZERO on the kernel path: shift
+    masks are trace-time constants in this model (swin3d.shift_attn_mask),
+    never trainable. Do NOT pass a learned mask through this op and expect
+    gradients; use the XLA reference path (CLOVER_ATTN=xla) if you need
+    mask differentiability.
     """
     return _forward_flat(qkv, bias, mask, scale, num_heads)
 
@@ -1118,14 +1133,28 @@ def _flat_bwd(scale, num_heads, residuals, g):
             # their gradient is intentionally zero here
             dmask = None if mask is None else jnp.zeros_like(mask)
             return dqkv, dbias, dmask
+    # recompute-based fallback: match the numerics the forward actually
+    # ran — fp32 in-VMEM logits when the flat kernel was shape-feasible,
+    # input-dtype logits when the forward itself fell back to XLA
+    # (pinned by test_kernel_fallbacks.py::test_bwd_fallback_fp32_recompute)
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    nW = None if mask is None else mask.shape[0]
+    fwd_used_kernel = (
+        N <= _FLAT_MAX_N
+        and _pick_window_block_flat(
+            Bn, num_heads, N, hd, qkv.dtype.itemsize, nW) > 0)
     if mask is None:
         _, vjp = jax.vjp(
-            lambda a, b: _xla_flat_reference(a, b, None, scale, num_heads),
+            lambda a, b: _xla_flat_reference(a, b, None, scale, num_heads,
+                                             fp32_logits=fwd_used_kernel),
             qkv, bias)
         dq, db = vjp(g)
         return dq, db, None
     _, vjp = jax.vjp(
-        lambda a, b, m: _xla_flat_reference(a, b, m, scale, num_heads),
+        lambda a, b, m: _xla_flat_reference(a, b, m, scale, num_heads,
+                                            fp32_logits=fwd_used_kernel),
         qkv, bias, mask)
     return vjp(g)
 

@@ -44,7 +44,7 @@ data = dict(
     ],
     val=dict(type="SyntheticRetrievalDataset", n_videos=8, num_frames=4,
              test_canonical_size=40, test_mode=True, seed=1),
-    train_loader=dict(batch_size=4, num_workers=2),
+    train_loader=dict(batch_size=8, num_workers=2),
     val_loader=dict(batch_size=4, num_workers=2),
 )
 

@@ -48,7 +48,7 @@ data = dict(
              backend_kwargs=dict(height=72, width=96),
              num_frames=4, canonical_size=40, max_length=16, mode="oe",
              test_mode=True),
-    train_loader=dict(batch_size=4, num_workers=2),
+    train_loader=dict(batch_size=8, num_workers=2),
     val_loader=dict(batch_size=4, num_workers=2),
 )
 

@@ -33,7 +33,7 @@ data = dict(
                canonical_size=40, seed=0),
     val=dict(type="SyntheticRetrievalDataset", n_videos=8, num_frames=4,
              test_canonical_size=40, test_mode=True, seed=1),
-    train_loader=dict(batch_size=4, num_workers=2),
+    train_loader=dict(batch_size=8, num_workers=2),
     val_loader=dict(batch_size=4, num_workers=2),
 )
 

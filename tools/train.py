@@ -289,6 +289,10 @@ def main():
         val_ds = build_dataset(cfg.data.val, tokenizer)
         val_loader = build_loader(
             val_ds, cfg.data.get("val_loader", loader_cfg), test=True)
+        # val iterates epoch(0) on purpose: test_mode loaders are
+        # deterministic (centered sampling, no shuffle), so every eval
+        # sees the identical clip set — comparable across epochs. Any
+        # val-time random sampling would need a per-eval epoch here.
         if is_pretrain or task == "retrieval":
             eval_step = make_embed_eval_step(model)
 
