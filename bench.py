@@ -214,7 +214,12 @@ def main():
         "metric": "msrvtt_eval_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
+        # vs the only baseline measurable in this image: 1-core eager
+        # torch CPU (bench/baseline_measured.json). This is NOT the
+        # "5x GPU reference" north star — no GPU exists here; see
+        # BASELINE.md for what this does and does not evidence.
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "baseline_kind": "torch_cpu_1core_eager",
         "batch": B,
         "frames": T,
         "iters": ITERS,

@@ -61,9 +61,53 @@ def main():
                     "the OpenCV backend instead of the synthetic backend")
     ap.add_argument("--video-size", type=int, default=320,
                     help="encoded frame size for --real-video")
+    ap.add_argument("--rawframes", action="store_true",
+                    help="generate JPEG frame-cache directories and decode "
+                    "with RawFrameBackend (the reference RawFrameDecode "
+                    "cache recipe)")
+    ap.add_argument("--target-short-side", type=int, default=None,
+                    help="enable reduced-resolution JPEG decode in the "
+                    "rawframes path (decode at 1/2..1/8 scale, short side "
+                    "kept >= this)")
     args = ap.parse_args()
 
-    if args.real_video:
+    if args.rawframes:
+        import tempfile
+
+        import cv2
+        import numpy as np
+
+        from clover_tpu.data.datasets import VideoTextDataset
+        from clover_tpu.data.tokenization import BertTokenizer, build_test_vocab
+
+        tmpdir = tempfile.mkdtemp(prefix="clover_rawbench_")
+        rng = np.random.default_rng(0)
+        import json as _json
+
+        ann = os.path.join(tmpdir, "ann.jsonl")
+        h, w = args.video_size, args.video_size * 4 // 3
+        with open(ann, "w") as f:
+            for i in range(args.n_videos):
+                d = os.path.join(tmpdir, f"v{i:04d}")
+                os.makedirs(d)
+                # smooth content compresses like real video, not noise
+                base = cv2.GaussianBlur(
+                    rng.integers(0, 256, (h, w, 3), np.uint8), (0, 0), 9)
+                for j in range(args.frames * 4):
+                    cv2.imwrite(os.path.join(d, f"img_{j + 1:05d}.jpg"),
+                                np.roll(base, j * 5, axis=1),
+                                [cv2.IMWRITE_JPEG_QUALITY, 87])
+                f.write(_json.dumps({"filename": f"v{i:04d}",
+                                     "text": f"synthetic clip number {i}"}) + "\n")
+        tok = BertTokenizer(build_test_vocab(
+            ["synthetic", "clip", "number"] + [str(i) for i in range(10)]))
+        ds = VideoTextDataset(
+            ann_file=ann, data_prefix=tmpdir, tokenizer=tok,
+            backend="rawframes",
+            backend_kwargs={"target_short_side": args.target_short_side},
+            num_frames=args.frames, canonical_size=args.canonical,
+            max_length=12, mlm=True, video_mask=True)
+    elif args.real_video:
         import tempfile
 
         from clover_tpu.data.datasets import VideoTextDataset
@@ -103,7 +147,10 @@ def main():
         "worker_type": args.worker_type,
         "frames": args.frames,
         "canonical": args.canonical,
-        "backend": "opencv-mjpg" if args.real_video else "synthetic",
+        "backend": ("rawframes" + (f"-reduced{args.target_short_side}"
+                                   if args.target_short_side else "")
+                    if args.rawframes else
+                    "opencv-mjpg" if args.real_video else "synthetic"),
     }))
 
 

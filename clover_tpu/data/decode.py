@@ -83,22 +83,62 @@ class ImageFileBackend:
 
 
 class RawFrameBackend:
-    """Directory-of-frames decode (reference RawFrameDecode)."""
+    """Directory-of-frames decode (reference RawFrameDecode).
 
-    def __init__(self, filename_tmpl: str = "img_{:05d}.jpg", start_index: int = 1):
+    ``target_short_side`` enables reduced-resolution JPEG decode: libjpeg
+    decodes at 1/2, 1/4, or 1/8 scale in the DCT domain (cv2
+    IMREAD_REDUCED_COLOR_*), which is both faster than full decode and
+    skips most of the later canonical resize. The reduce level is probed
+    once per frame directory and chosen so the decoded short side stays
+    >= target_short_side (so the model-facing crop never upsamples).
+    Measured on this host: see BASELINE.md host-pipeline table.
+    """
+
+    def __init__(self, filename_tmpl: str = "img_{:05d}.jpg",
+                 start_index: int = 1,
+                 target_short_side: Optional[int] = None):
         self.filename_tmpl = filename_tmpl
         self.start_index = start_index
+        self.target_short_side = target_short_side
+        self._reduce_cache: dict = {}
 
     def num_frames(self, path: str) -> int:
         return len([f for f in os.listdir(path) if not f.startswith(".")])
 
+    _REDUCE_FLAGS = {1: None, 2: "IMREAD_REDUCED_COLOR_2",
+                     4: "IMREAD_REDUCED_COLOR_4", 8: "IMREAD_REDUCED_COLOR_8"}
+
+    def _probe_reduce(self, dir_path: str, first_frame: str) -> int:
+        """Largest reduce level whose decoded short side >= target."""
+        import cv2
+
+        level = self._reduce_cache.get(dir_path)
+        if level is not None:
+            return level
+        level = 1
+        if self.target_short_side:
+            img8 = cv2.imread(first_frame, cv2.IMREAD_REDUCED_COLOR_8)
+            if img8 is not None:
+                short = min(img8.shape[:2]) * 8  # ~full-res short side
+                for r in (8, 4, 2):
+                    if short // r >= self.target_short_side:
+                        level = r
+                        break
+        self._reduce_cache[dir_path] = level
+        return level
+
     def decode(self, path: str, frame_indices: Sequence[int]) -> np.ndarray:
         import cv2
 
+        first = os.path.join(
+            path, self.filename_tmpl.format(int(frame_indices[0]) + self.start_index))
+        level = self._probe_reduce(path, first)
+        flag = (cv2.IMREAD_COLOR if level == 1
+                else getattr(cv2, self._REDUCE_FLAGS[level]))
         frames = []
         for idx in frame_indices:
             fp = os.path.join(path, self.filename_tmpl.format(int(idx) + self.start_index))
-            img = cv2.imread(fp, cv2.IMREAD_COLOR)
+            img = cv2.imread(fp, flag)
             if img is None:
                 raise DecodeError(f"cannot read frame {fp}")
             frames.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))

@@ -493,6 +493,45 @@ def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
         out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
 
 
+def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                              scale, G, hd):
+    """Head-GROUP tile of the flat kernel: this program sees only G heads'
+    q/k/v lane slices and bias rows, so the VMEM-resident bias shrinks
+    nH/G-fold — what lets 32-frame stages 2-3 (nH=16/32, N=392) run fused
+    instead of falling back to XLA (TODO r1 / VERDICT item 3)."""
+    for h in range(G):                               # static offsets
+        q = q_ref[:, :, h * hd:(h + 1) * hd]
+        k = k_ref[:, :, h * hd:(h + 1) * hd]
+        v = v_ref[:, :, h * hd:(h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q_ref.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+
+
+def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                                     out_ref, *, scale, G, hd):
+    for h in range(G):
+        q = q_ref[:, :, h * hd:(h + 1) * hd]
+        k = k_ref[:, :, h * hd:(h + 1) * hd]
+        v = v_ref[:, :, h * hd:(h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        logits = (logits + bias_ref[h][None].astype(jnp.float32)
+                  + mask_ref[:].astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1).astype(q_ref.dtype)
+        out = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+
+
 def _pad_to(n: int, to: int) -> int:
     return -(-n // to) * to
 
@@ -536,6 +575,97 @@ def _pick_window_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
     return 0
 
 
+_GROUPED_ON = _os.environ.get("CLOVER_WA_GROUPED", "1") != "0"
+
+
+def _pick_group_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
+                           nW):
+    """(W, G) for the head-grouped kernel, or (0, 0) if infeasible.
+
+    Prefers G*hd = 128 (full lane tiles on the q/k/v slices) and the
+    largest batch-window block W that fits the VMEM budget."""
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    groups = [g for g in (8, 4, 2, 1)
+              if nH % g == 0 and g * hd <= 512]
+    groups.sort(key=lambda g: (abs(g * hd - 128), -g))
+    for G in groups:
+        gl = _pad_to(G * hd, 128)
+        for w in (32, 16, 8, 4, 2, 1):
+            if Bn % w:
+                continue
+            if nW is not None and (w > nW or nW % w):
+                continue
+            need = (3 * 2 * w * Np_s * gl * itemsize        # q,k,v x2
+                    + 2 * w * Np_s * gl * itemsize          # out x2
+                    + 2 * G * Np_s * Np_l * itemsize        # bias x2
+                    + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                    + w * Np_s * Np_l * (4 + itemsize)      # logits+probs
+                    + Np_s * Np_l * 4                       # bias f32 copy
+                    + (w * Np_s * Np_l * 4 if nW is not None else 0))
+            if need <= _FLAT_VMEM_BUDGET:
+                return w, G
+    return 0, 0
+
+
+def _forward_flat_grouped(qkv, bias, mask, scale, num_heads):
+    """Head-group-tiled flat kernel: grid (Bn//W, nH//G); q/k/v are three
+    lane-sliced BlockSpec views of the SAME flat qkv array (contiguous
+    G*hd-column stripes at offsets 0 / C / 2C), so no relayout happens in
+    HBM. Returns None when no (W, G) fits the VMEM budget."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    if not _GROUPED_ON or hd % 8:
+        return None
+    nW = None if mask is None else mask.shape[0]
+    W, G = _pick_group_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    if W == 0:
+        return None
+    nG = num_heads // G
+    gw = G * hd
+    # column-block index units are the block's last dim (gw): the k stripe
+    # for group g starts at element C + g*gw = block index nG + g
+    q_spec = pl.BlockSpec((W, N, gw), lambda i, g: (i, 0, g),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((W, N, gw), lambda i, g: (i, 0, nG + g),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((W, N, gw), lambda i, g: (i, 0, 2 * nG + g),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((G, N, N), lambda i, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((W, N, gw), lambda i, g: (i, 0, g),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=2 * qkv.size * qkv.dtype.itemsize
+        + num_heads * N * N * qkv.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, G=G, hd=hd)
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat_grouped, **kwargs),
+            grid=(Bn // W, nG),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bn, N, C), qkv.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv, qkv, bias.astype(qkv.dtype))
+    # BLOCK index semantics: i % (nW // W), NOT (i*W) % nW (see _forward_v2)
+    mask_spec = pl.BlockSpec((W, N, N), lambda i, g: (i % (nW // W), 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat_grouped_masked, **kwargs),
+        grid=(Bn // W, nG),
+        in_specs=[q_spec, k_spec, v_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((Bn, N, C), qkv.dtype),
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
+
+
 def _forward_flat(qkv, bias, mask, scale, num_heads):
     """qkv (Bn, N, 3C) -> (Bn, N, C); bias (nH, N, N); mask (nW, N, N)|None.
     bias/mask are cast to qkv.dtype for the VMEM-resident blocks."""
@@ -546,6 +676,11 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
     W = (_pick_window_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
          if N <= _FLAT_MAX_N else 0)
     if W == 0:
+        # all-heads bias block busts VMEM (32-frame stages 2-3): tile the
+        # grid over head GROUPS before giving up on the fused path
+        out = _forward_flat_grouped(qkv, bias, mask, scale, num_heads)
+        if out is not None:
+            return out
         if _LONG_IMPL == "v7":
             out = _forward_flat_flash(qkv, bias, mask, scale, num_heads)
             if out is not None:
@@ -1143,8 +1278,11 @@ def _flat_bwd(scale, num_heads, residuals, g):
     nW = None if mask is None else mask.shape[0]
     fwd_used_kernel = (
         N <= _FLAT_MAX_N
-        and _pick_window_block_flat(
-            Bn, num_heads, N, hd, qkv.dtype.itemsize, nW) > 0)
+        and (_pick_window_block_flat(
+                 Bn, num_heads, N, hd, qkv.dtype.itemsize, nW) > 0
+             or (_GROUPED_ON and hd % 8 == 0
+                 and _pick_group_block_flat(
+                     Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)[0] > 0)))
     if mask is None:
         _, vjp = jax.vjp(
             lambda a, b: _xla_flat_reference(a, b, None, scale, num_heads,

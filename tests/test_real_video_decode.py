@@ -66,3 +66,33 @@ def test_dataset_end_to_end_with_real_video(tiny_video, tmp_path):
     # centered TSN sampling over 24 frames -> levels rise monotonically
     levels = frames.reshape(4, -1).mean(axis=1)
     assert (np.diff(levels) > 0).all(), levels
+
+
+def test_rawframe_backend_reduced_decode(tmp_path):
+    """target_short_side: JPEG decoded at DCT-domain reduced scale; level
+    chosen so the short side stays >= target, content matches a downscale
+    of the full decode."""
+    import cv2
+
+    from clover_tpu.data.decode import RawFrameBackend
+
+    d = tmp_path / "v0"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    base = cv2.GaussianBlur(rng.integers(0, 256, (480, 640, 3), np.uint8),
+                            (0, 0), 9)
+    for j in range(4):
+        cv2.imwrite(str(d / f"img_{j + 1:05d}.jpg"), np.roll(base, j, axis=1),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    full = RawFrameBackend().decode(str(d), [0, 2])
+    assert full.shape == (2, 480, 640, 3)
+    red = RawFrameBackend(target_short_side=224).decode(str(d), [0, 2])
+    # 480/2 = 240 >= 224; 480/4 = 120 < 224 -> level 2
+    assert red.shape == (2, 240, 320, 3)
+    down = np.stack([cv2.resize(f, (320, 240)) for f in full])
+    diff = np.abs(down.astype(np.int16) - red.astype(np.int16)).mean()
+    assert diff < 12.0, diff
+    # target larger than the frame: no reduction
+    big = RawFrameBackend(target_short_side=480).decode(str(d), [0])
+    assert big.shape == (1, 480, 640, 3)

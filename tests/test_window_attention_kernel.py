@@ -232,3 +232,59 @@ def test_swin_backbone_pallas_grads_match_xla(rng, impl):
                     jax.tree_util.tree_leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_grouped_kernel_matches_xla(rng, with_mask):
+    """Head-group-tiled flat kernel: forced on by making the all-heads
+    picker infeasible; numerics must match the XLA reference."""
+    import clover_tpu.ops.window_attention as wa
+
+    Bn, nH, N, hd = 8, 4, 12, 16
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = None
+    if with_mask:
+        m = np.where(rng.random((4, N, N)) < 0.3, -100.0, 0.0)
+        mask = jnp.asarray(m.astype(np.float32))
+    scale = hd ** -0.5
+    out = wa._forward_flat_grouped(qkv, bias, mask, scale, nH)
+    assert out is not None
+    ref = wa._xla_flat_reference(qkv, bias, mask, scale, nH)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # picker must split heads: G < nH possible and exact tiling holds
+    W, G = wa._pick_group_block_flat(Bn, nH, N, hd, 4, None)
+    assert W > 0 and nH % G == 0
+
+
+def test_grouped_kernel_32frame_stage_shapes(rng):
+    """The exact 32-frame eval shapes that fell back to XLA in round 1
+    (stage 2: nH=16, stage 3: nH=32 at N=392) must take the grouped
+    kernel and match the reference. Uses bf16 like the real eval."""
+    import clover_tpu.ops.window_attention as wa
+
+    for Bn, nH, hd, nW in ((8, 16, 32, 4), (4, 32, 32, 1)):
+        N = 392
+        C = nH * hd
+        # all-heads picker must be infeasible, grouped feasible
+        assert wa._pick_window_block_flat(Bn, nH, N, hd, 2, nW) == 0
+        W, G = wa._pick_group_block_flat(Bn, nH, N, hd, 2, nW)
+        assert W > 0, (Bn, nH)
+        assert G * hd == 128  # lane-exact stripes
+        qkv = jnp.asarray(
+            rng.normal(size=(Bn, N, 3 * C)).astype(np.float32) * 0.3
+        ).astype(jnp.bfloat16)
+        bias = jnp.asarray(
+            rng.normal(size=(nH, N, N)).astype(np.float32)).astype(jnp.bfloat16)
+        mask = jnp.asarray(np.where(
+            rng.random((nW, N, N)) < 0.3, -100.0, 0.0).astype(np.float32))
+        scale = hd ** -0.5
+        out = wa._forward_flat_grouped(qkv, bias, mask.astype(jnp.bfloat16),
+                                       scale, nH)
+        assert out is not None
+        ref = wa._xla_flat_reference(qkv, bias, mask.astype(jnp.bfloat16),
+                                     scale, nH)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=3e-2, rtol=3e-2)
