@@ -53,6 +53,8 @@ def bench_train():
     # ~97% of no-remat throughput, and it still fits at production batch.
     cfg = PretrainConfig(
         swin=SwinConfig.base(mask_token=True, attention_impl=ATTN,
+                             window_resident=os.environ.get(
+                                 "BENCH_WIN_RESIDENT", "1") == "1",
                              fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla",
                              use_checkpoint={"1": True, "0": False}.get(
                                  os.environ.get("BENCH_REMAT", "0,1"),
@@ -149,7 +151,8 @@ def main():
         swin=SwinConfig.base(
             attention_impl=ATTN,
             embed_impl=os.environ.get("BENCH_EMBED", "conv"),
-            fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla"),
+            fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla",
+            window_resident=os.environ.get("BENCH_WIN_RESIDENT", "1") == "1"),
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
                             img_in_size=1024, num_frames=T // 2,

@@ -141,6 +141,23 @@ class LayerNormParams(nn.Module):
         return scale, bias
 
 
+class MlpParams(nn.Module):
+    """Declares Mlp's fc1/fc2 params at the canonical child paths without
+    running the layers — see DenseParams."""
+
+    in_features: int
+    hidden_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = DenseParams(self.in_features, self.hidden_features,
+                             name="fc1")()
+        k2, b2 = DenseParams(self.hidden_features, self.out_features,
+                             name="fc2")()
+        return k1, b1, k2, b2
+
+
 class Mlp(nn.Module):
     """Transformer MLP: fc1 -> GELU -> drop -> fc2 -> drop.
 

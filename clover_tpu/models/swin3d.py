@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os as _os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -79,6 +80,13 @@ class SwinConfig:
     # tiny-trailing-dim space-to-depth transposes (+4% eval). 's2d':
     # space-to-depth + matmul. Identical Dense param layout either way.
     embed_impl: str = "conv"
+    # keep activations window-partitioned across each whole stage:
+    # unshifted blocks run with zero layout ops, shifted blocks pay one
+    # permutation each way, partition/reverse happen once per stage
+    # (automatically off for stages whose dims don't divide the window,
+    # or when sequence-parallel act_sharding is set). Numerics identical
+    # (pinned by tests/test_swin.py).
+    window_resident: bool = True
     # sequence parallelism (capability beyond the DP-only reference,
     # SURVEY.md §5.7): per-dim mesh-axis names for the (B, D, H, W, C)
     # block activations, e.g. ('data', None, 'sp', None, None) shards the
@@ -211,6 +219,60 @@ def window_reverse(windows: jax.Array, window: Tuple3, B: int, D: int, H: int, W
                         window[0], window[1], window[2], C)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(B, D, H, W, C)
+
+
+@functools.lru_cache(maxsize=64)
+def _window_shift_perm_np(dims: Tuple3, window: Tuple3, shift: Tuple3):
+    """Token permutation unshifted-window-major -> shifted-window-major.
+
+    Window-resident stages (see SwinBlock3D.resident_dims) keep activations
+    partitioned as (B, nW*N, C); a shifted block needs tokens regrouped by
+    the rolled grid. The composition partition∘roll∘reverse is one fixed
+    permutation — precomputed here in numpy at trace time. Returns
+    (perm, inv_perm) with x_shifted[:, i] = x[:, perm[i]].
+    """
+    D, H, W = dims
+    wd, wh, ww = window
+
+    def part(t):
+        t = t.reshape(D // wd, wd, H // wh, wh, W // ww, ww)
+        return t.transpose(0, 2, 4, 1, 3, 5).reshape(-1)
+
+    tokens = np.arange(D * H * W).reshape(D, H, W)
+    base = part(tokens)
+    rolled = part(np.roll(tokens, (-shift[0], -shift[1], -shift[2]),
+                          axis=(0, 1, 2)))
+    inv_base = np.empty_like(base)
+    inv_base[base] = np.arange(base.size)
+    perm = inv_base[rolled]
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.size)
+    return perm.astype(np.int32), inv_perm.astype(np.int32)
+
+
+_WIN_PERM_MODE = _os.environ.get("CLOVER_WIN_PERM", "compose")
+
+
+def _apply_window_perm(x: jax.Array, dims: Tuple3, window: Tuple3,
+                       shift: Tuple3, inverse: bool) -> jax.Array:
+    """Regroup window-major tokens for (or back from) a shifted block.
+
+    'compose' (default): reverse -> roll -> partition in XLA layout ops —
+    the compiler collapses the chain into 1-2 copies. 'take': a single
+    constant-index gather (measured A/B on TPU; see BASELINE.md).
+    """
+    B, L, C = x.shape
+    N = window[0] * window[1] * window[2]
+    if _WIN_PERM_MODE == "take":
+        perm, inv = _window_shift_perm_np(tuple(dims), tuple(window),
+                                          tuple(shift))
+        return jnp.take(x, jnp.asarray(inv if inverse else perm), axis=1)
+    D, H, W = dims
+    s = tuple(shift)
+    roll = s if inverse else (-s[0], -s[1], -s[2])
+    xs = window_reverse(x.reshape(-1, N, C), window, B, D, H, W)
+    xs = jnp.roll(xs, shift=roll, axis=(1, 2, 3))
+    return window_partition(xs, window).reshape(B, L, C)
 
 
 class WindowAttention3D(nn.Module):
@@ -369,6 +431,13 @@ class SwinBlock3D(nn.Module):
     attention_impl: str = "xla"
     act_sharding: Optional[Tuple[Optional[str], ...]] = None
     fused_mlp: bool = False
+    # window-resident mode: set to the stage's (D, H, W) to have __call__
+    # take/return (B, nW*N, C) tokens already partitioned into unshifted
+    # windows. Unshifted blocks then run with ZERO layout ops (the r1
+    # train-step trace showed ~10 ms/step of partition/reverse transposes);
+    # shifted blocks pay one permutation in and one out. The stage loop
+    # partitions once at entry and reverses once at exit.
+    resident_dims: Optional[Tuple3] = None
     dtype: Dtype = jnp.float32
 
     def _resolve_impl(self, deterministic: bool) -> str:
@@ -392,6 +461,8 @@ class SwinBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.resident_dims is not None:
+            return self._window_resident_call(x, deterministic)
         impl = self._resolve_impl(deterministic)
         x = constrain_activation(x, self.act_sharding)
         B, D, H, W, C = x.shape
@@ -448,22 +519,62 @@ class SwinBlock3D(nn.Module):
             x, deterministic=deterministic)
         return self._mlp_half(x, deterministic)
 
+    def _window_resident_call(self, x: jax.Array,
+                              deterministic: bool) -> jax.Array:
+        """x: (B, nW*N, C) tokens in unshifted window-major order.
+
+        Same parameter structure as the spatial path (norm1/attn/
+        drop_path1/norm2/mlp) — checkpoints are layout-independent.
+        The caller (stage loop) guarantees dims divide the window, so no
+        padding branch exists here.
+        """
+        dims = tuple(self.resident_dims)
+        window, shift = effective_window(dims, self.window_size,
+                                         self.shift_size)
+        impl = self._resolve_impl(deterministic)
+        B, L, C = x.shape
+        N = window[0] * window[1] * window[2]
+        do_shift = any(s > 0 for s in shift)
+        attn_mask = None
+        if do_shift:
+            x = _apply_window_perm(x, dims, window, shift, inverse=False)
+            mask_np = shift_attn_mask(dims, window, shift)
+            attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
+
+        shortcut = x
+        xn = layer_norm(dtype=self.dtype, name="norm1")(x, deterministic)
+        attn_module = WindowAttention3D(
+            self.dim, self.window_size, self.num_heads,
+            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            attention_impl=impl, dtype=self.dtype, name="attn",
+        )
+        attn_out = attn_module(xn.reshape(-1, N, C), window, attn_mask,
+                               deterministic=deterministic)
+        x = shortcut + DropPath(self.drop_path, name="drop_path1")(
+            attn_out.reshape(B, L, C), deterministic=deterministic)
+        x = self._mlp_half(x, deterministic)
+        if do_shift:
+            x = _apply_window_perm(x, dims, window, shift, inverse=True)
+        return x
+
     def _mlp_half(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        """Rank-agnostic: x may be spatial (B, D, H, W, C) or window-major
+        (B, L, C); the MLP is per-token either way."""
         C = x.shape[-1]
-        norm2 = layer_norm(dtype=self.dtype, name="norm2")
-        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop_rate=self.drop,
-                  dtype=self.dtype, name="mlp")
         # the kernel covers DropPath via a per-row scale; only in-MLP
         # dropout (drop>0, zero in every live config) forces the XLA path
         fusable = self.fused_mlp and (deterministic or self.drop == 0.0)
         if fusable:
+            from clover_tpu.models.layers import LayerNormParams, MlpParams
             from clover_tpu.ops.mlp_block import fused_ln_mlp_residual
 
-            # materialize norm2/mlp params at their usual paths via a 1-row
-            # call (DCE'd in apply), then feed their values to the kernel
-            _ = mlp(norm2(x[:1, :1, :1, :1]), deterministic=True)
-            p_norm = self.scope.get_variable("params", "norm2")
-            p_mlp = self.scope.get_variable("params", "mlp")
+            # declare norm2/mlp params at their canonical paths
+            # (checkpoint-identical to the module path) without dummy
+            # compute or scope internals
+            scale, bias = LayerNormParams(C, name="norm2")()
+            k1, b1, k2, b2 = MlpParams(
+                C, int(self.dim * self.mlp_ratio), self.dim, name="mlp")()
             row_scale = None
             if not deterministic and self.drop_path > 0.0:
                 keep = 1.0 - self.drop_path
@@ -473,13 +584,12 @@ class SwinBlock3D(nn.Module):
                 rows_per_sample = int(np.prod(x.shape[1:-1]))
                 row_scale = jnp.repeat(per_sample, rows_per_sample)
             out = fused_ln_mlp_residual(
-                x.reshape(-1, C),
-                p_norm["scale"], p_norm["bias"],
-                p_mlp["fc1"]["kernel"], p_mlp["fc1"]["bias"],
-                p_mlp["fc2"]["kernel"], p_mlp["fc2"]["bias"],
-                row_scale)
+                x.reshape(-1, C), scale, bias, k1, b1, k2, b2, row_scale)
             return out.reshape(x.shape)
 
+        norm2 = layer_norm(dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop_rate=self.drop,
+                  dtype=self.dtype, name="mlp")
         h = norm2(x, deterministic)
         h = mlp(h, deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(
@@ -684,6 +794,20 @@ class SwinTransformer3D(nn.Module):
                            else bool(cfg.use_checkpoint))
             block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
                          if remat_stage else SwinBlock3D)
+            # window-resident stage: partition once, run every block on
+            # (B, nW*N, C) window-major tokens, reverse once at stage end
+            dims = tuple(x.shape[1:4])
+            stage_window, _ = effective_window(dims, cfg.window_size,
+                                               (0, 0, 0))
+            resident = (cfg.window_resident and cfg.act_sharding is None
+                        and cfg.attention_impl not in ("fused_block",
+                                                       "pallas_fused")
+                        and all(d % w == 0
+                                for d, w in zip(dims, stage_window)))
+            if resident:
+                B_ = x.shape[0]
+                N_ = int(np.prod(stage_window))
+                x = window_partition(x, stage_window).reshape(B_, -1, x.shape[-1])
             for i_blk in range(cfg.depths[i_stage]):
                 x = block_cls(
                     dim=dim,
@@ -699,10 +823,14 @@ class SwinTransformer3D(nn.Module):
                     attention_impl=cfg.attention_impl,
                     act_sharding=cfg.act_sharding,
                     fused_mlp=cfg.fused_mlp,
+                    resident_dims=dims if resident else None,
                     dtype=self.dtype,
                     name=f"stage_{i_stage}_block_{i_blk}",
                 )(x, deterministic)
                 block_idx += 1
+            if resident:
+                x = window_reverse(x.reshape(-1, N_, x.shape[-1]),
+                                   stage_window, B_, *dims)
             if i_stage < num_stages - 1:
                 x = PatchMerging(dim, dtype=self.dtype,
                                  name=f"stage_{i_stage}_downsample")(

@@ -191,3 +191,60 @@ def test_swin_temporal_clamp_runs(tiny_cfg, rng):
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     out = model.apply({"params": params}, x)
     assert out.shape == (1, 2, 2, 2, 8)
+
+
+def test_window_resident_matches_spatial(tiny_cfg, rng):
+    """Window-resident stages (partition once per stage, permute only for
+    shifted blocks) must be numerically identical to the spatial path —
+    outputs AND grads, in both permutation modes."""
+    import dataclasses
+
+    import clover_tpu.models.swin3d as S
+
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32))
+    m_res = SwinTransformer3D(dataclasses.replace(tiny_cfg, mask_token=False))
+    m_sp = SwinTransformer3D(dataclasses.replace(
+        tiny_cfg, mask_token=False, window_resident=False))
+    params = m_sp.init(jax.random.PRNGKey(0), x)["params"]
+    # identical param trees: checkpoints are layout-independent
+    assert (jax.tree_util.tree_structure(
+        m_res.init(jax.random.PRNGKey(0), x)["params"])
+        == jax.tree_util.tree_structure(params))
+
+    out_sp = m_sp.apply({"params": params}, x)
+    for mode in ("compose", "take"):
+        orig = S._WIN_PERM_MODE
+        S._WIN_PERM_MODE = mode
+        try:
+            out_res = m_res.apply({"params": params}, x)
+        finally:
+            S._WIN_PERM_MODE = orig
+        np.testing.assert_allclose(np.asarray(out_res), np.asarray(out_sp),
+                                   atol=1e-5, err_msg=mode)
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    g_sp = jax.grad(lambda p: loss(m_sp, p))(params)
+    g_res = jax.grad(lambda p: loss(m_res, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_res),
+                    jax.tree_util.tree_leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_window_resident_fallback_on_padding(rng):
+    """Stages whose dims don't divide the window silently use the spatial
+    (padding) path — outputs still match a window_resident=False model."""
+    import dataclasses
+
+    cfg = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2), embed_dim=8,
+                     depths=(2,), num_heads=(2,), window_size=(2, 2, 2),
+                     drop_path_rate=0.0)
+    x = jnp.asarray(rng.normal(size=(1, 3, 6, 6, 3)).astype(np.float32))
+    m1 = SwinTransformer3D(cfg)  # D=3 doesn't divide wd=2 -> fallback
+    m0 = SwinTransformer3D(dataclasses.replace(cfg, window_resident=False))
+    params = m0.init(jax.random.PRNGKey(0), x)["params"]
+    np.testing.assert_allclose(
+        np.asarray(m1.apply({"params": params}, x)),
+        np.asarray(m0.apply({"params": params}, x)), atol=1e-6)
