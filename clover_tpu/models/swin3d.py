@@ -414,6 +414,29 @@ class WindowAttention3D(nn.Module):
         return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
 
+class _WindowAttentionParams(nn.Module):
+    """Declares WindowAttention3D's params (qkv/proj/bias table) at the
+    canonical child paths without running the module — the fused-block
+    path consumes raw values (see layers.DenseParams)."""
+
+    dim: int
+    num_heads: int
+    full_window: Tuple3
+    qkv_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        from clover_tpu.models.layers import DenseParams
+
+        k_qkv, b_qkv = DenseParams(self.dim, 3 * self.dim,
+                                   use_bias=self.qkv_bias, name="qkv")()
+        k_proj, b_proj = DenseParams(self.dim, self.dim, name="proj")()
+        table_len = int(np.prod([2 * w - 1 for w in self.full_window]))
+        table = self.param("relative_position_bias_table", trunc_normal_init,
+                           (table_len, self.num_heads), jnp.float32)
+        return k_qkv, b_qkv, k_proj, b_proj, table
+
+
 class SwinBlock3D(nn.Module):
     """One Swin block: LN -> (shift, window, attn, unshift) -> LN -> MLP,
     both with residual + stochastic depth (reference :403-505)."""
@@ -610,19 +633,18 @@ class SwinBlock3D(nn.Module):
         scale = self.qk_scale or head_dim ** -0.5
         N = window[0] * window[1] * window[2]
 
-        norm1 = layer_norm(dtype=self.dtype, name="norm1")
-        attn_module = WindowAttention3D(
-            self.dim, self.window_size, self.num_heads,
-            qkv_bias=self.qkv_bias, qk_scale=self.qk_scale,
-            attn_drop=self.attn_drop, proj_drop=self.drop,
-            attention_impl="xla", dtype=self.dtype, name="attn")
-        # materialize norm1/attn params at their usual paths via a cheap
-        # 1-window call (DCE'd in apply)
-        xn_dummy = norm1(x[:1, :window[0], :window[1], :window[2], :])
-        _ = attn_module(xn_dummy.reshape(1, N, C), window, None,
-                        deterministic=True)
-        p_norm = self.scope.get_variable("params", "norm1")
-        p_attn = self.scope.get_variable("params", "attn")
+        # declare norm1/attn params at their canonical paths without dummy
+        # compute or scope internals (see layers.DenseParams)
+        from clover_tpu.models.layers import LayerNormParams
+
+        ln_scale, ln_bias = LayerNormParams(C, name="norm1")()
+        k_qkv, b_qkv, k_proj, b_proj, bias_table = _WindowAttentionParams(
+            self.dim, self.num_heads, tuple(self.window_size), self.qkv_bias,
+            name="attn")()
+        p_norm = {"scale": ln_scale, "bias": ln_bias}
+        p_attn = {"qkv": {"kernel": k_qkv, "bias": b_qkv},
+                  "proj": {"kernel": k_proj, "bias": b_proj},
+                  "relative_position_bias_table": bias_table}
 
         rp_index = relative_position_index(self.window_size, tuple(window))
         bias = p_attn["relative_position_bias_table"][
@@ -702,15 +724,16 @@ class PatchEmbed3D(nn.Module):
             # conv lowering of the same projection (embed_impl='conv'):
             # identical Dense param layout — the (pd*ph*pw*C, E) kernel is
             # viewed as a DHWIO conv kernel, so checkpoints interchange
-            proj = dense(cfg.embed_dim, dtype=self.dtype, name="proj")
-            _ = proj(x[:1, :pd, :ph, :pw].reshape(1, 1, 1, 1, -1))
-            p = self.scope.get_variable("params", "proj")
-            kern = p["kernel"].reshape(pd, ph, pw, C, cfg.embed_dim)
+            from clover_tpu.models.layers import DenseParams
+
+            kern_flat, bias = DenseParams(
+                pd * ph * pw * C, cfg.embed_dim, name="proj")()
+            kern = kern_flat.reshape(pd, ph, pw, C, cfg.embed_dim)
             x = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kern.astype(self.dtype),
                 window_strides=cfg.stride, padding="VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            ) + p["bias"].astype(self.dtype)
+            ) + bias.astype(self.dtype)
         else:
             x = nn.Conv(
                 cfg.embed_dim, kernel_size=cfg.patch_size, strides=cfg.stride,
