@@ -61,6 +61,11 @@ def main():
                     "the OpenCV backend instead of the synthetic backend")
     ap.add_argument("--video-size", type=int, default=320,
                     help="encoded frame size for --real-video")
+    ap.add_argument("--video-backend", default="opencv",
+                    choices=["opencv", "ffmpeg"],
+                    help="decode backend for --real-video (ffmpeg = the "
+                    "native csrc/video_decoder.cc batch decoder; honours "
+                    "--target-short-side for reduced-resolution decode)")
     ap.add_argument("--rawframes", action="store_true",
                     help="generate JPEG frame-cache directories and decode "
                     "with RawFrameBackend (the reference RawFrameDecode "
@@ -118,9 +123,13 @@ def main():
                                 tmpdir)
         tok = BertTokenizer(build_test_vocab(
             ["synthetic", "clip", "number"] + [str(i) for i in range(10)]))
+        bk_kwargs = {}
+        if args.video_backend == "ffmpeg" and args.target_short_side:
+            bk_kwargs["target_short_side"] = args.target_short_side
         ds = VideoTextDataset(
             ann_file=ann, data_prefix=tmpdir, tokenizer=tok,
-            backend="opencv", num_frames=args.frames,
+            backend=args.video_backend, backend_kwargs=bk_kwargs,
+            num_frames=args.frames,
             canonical_size=args.canonical, max_length=12,
             mlm=True, video_mask=True)
     else:
@@ -150,7 +159,11 @@ def main():
         "backend": ("rawframes" + (f"-reduced{args.target_short_side}"
                                    if args.target_short_side else "")
                     if args.rawframes else
-                    "opencv-mjpg" if args.real_video else "synthetic"),
+                    f"{args.video_backend}-mjpg"
+                    + (f"-reduced{args.target_short_side}"
+                       if args.video_backend == "ffmpeg"
+                       and args.target_short_side else "")
+                    if args.real_video else "synthetic"),
     }))
 
 
