@@ -333,8 +333,14 @@ class WindowAttention3D(nn.Module):
 
         Bn, N, C = x.shape
 
+        # 2-D GEMM form: on a 3-D operand XLA lowers the projection as a
+        # convolution whose preferred operand layout is batch-interleaved
+        # ({2,0,1}), inserting a full HBM relayout copy of the activation
+        # on each side (~0.6 ms each at 32-frame stage 0, trace 2026-08-17);
+        # a (Bn*N, C) GEMM keeps row-major layouts end to end and the
+        # reshape back is a free bitcast.
         qkv_flat = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                         name="qkv")(x)
+                         name="qkv")(x.reshape(-1, C)).reshape(Bn, N, 3 * C)
 
         rp_index = relative_position_index(self.full_window, eff_window)
         bias = bias_table[rp_index.reshape(-1)].reshape(N, N, self.num_heads)
@@ -353,7 +359,8 @@ class WindowAttention3D(nn.Module):
                 flat_mask = None
             out = flat_window_attention(qkv_flat, bias, flat_mask, scale,
                                         self.num_heads)
-            out = dense(self.dim, dtype=self.dtype, name="proj")(out)
+            out = dense(self.dim, dtype=self.dtype, name="proj")(
+                out.reshape(-1, C)).reshape(Bn, N, C)
             return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
         if self.attention_impl == "xla_headloop" and self.attn_drop == 0.0:

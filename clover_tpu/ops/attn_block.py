@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clover_tpu.ops.window_attention import _vmem_softmax
+
 
 def _is_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -42,34 +44,44 @@ _FORCE_PALLAS = False   # tests: interpret mode on CPU
 def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref, *,
             eps: float, scale: float, nH: int, mask_ref=None):
+    """v2 (bf16-dot protocol, like window_attention.py's flat v5): every
+    dot is batched over the whole (W, ...) block and feeds the MXU the
+    input dtype with fp32 accumulation; the per-window python loop of v1
+    (small unbatched dots, fp32 MXU inputs — the measured 8x penalty) is
+    gone. One head's fp32 logits live at a time; bias rides VMEM-resident
+    in the compute dtype."""
     W, N, C = x_ref.shape
     hd = C // nH
-    for w in range(W):
-        x = x_ref[w].astype(jnp.float32)                  # (N, C)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        xc = x - mean
-        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-        xn = (xc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]).astype(
-            x_ref.dtype)
-        qkv = jnp.dot(xn, wqkv_ref[:],
-                      preferred_element_type=jnp.float32) + bqkv_ref[:]
-        qkv = qkv.astype(x_ref.dtype)                     # (N, 3C)
-        for h in range(nH):
-            q = qkv[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-            k = qkv[:, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
-            v = qkv[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
-            logits = jax.lax.dot_general(
-                q * scale, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (N, N)
-            logits = logits + bias_ref[h]
-            if mask_ref is not None:
-                logits = logits + mask_ref[w]
-            probs = jax.nn.softmax(logits, axis=-1).astype(x_ref.dtype)
-            o = jnp.dot(probs, v, preferred_element_type=jnp.float32)
-            attn_ref[:, h * hd:(h + 1) * hd] = o.astype(x_ref.dtype)
-        y = jnp.dot(attn_ref[:], wp_ref[:],
-                    preferred_element_type=jnp.float32) + bp_ref[:]
-        out_ref[w] = (x + y).astype(out_ref.dtype)
+    x = x_ref[:].astype(jnp.float32)                      # (W, N, C)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * s_ref[0] + b_ref[0]).astype(
+        x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(x_ref.dtype)                         # (W, N, 3C)
+    sc = x_ref.dtype.type(scale)
+    for h in range(nH):                                   # static offsets
+        q = qkv[:, :, h * hd:(h + 1) * hd] * sc
+        k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (W, N, N) f32
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[:].astype(jnp.float32)
+        probs = _vmem_softmax(logits, x_ref.dtype)
+        o = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        attn_ref[:, :, h * hd:(h + 1) * hd] = o.astype(attn_ref.dtype)
+    y = jax.lax.dot_general(
+        attn_ref[:], wp_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bp_ref[0]
+    out_ref[:] = (x + y).astype(out_ref.dtype)
 
 
 def _kernel_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
@@ -80,23 +92,44 @@ def _kernel_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             eps=eps, scale=scale, nH=nH, mask_ref=mask_ref)
 
 
+def _pad_to(n: int, to: int) -> int:
+    return -(-n // to) * to
+
+
+import os as _os
+
+_BLOCK_VMEM_BUDGET = int(
+    _os.environ.get("CLOVER_AB_VMEM_MB", "20")) * 2 ** 20
+
+
 def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
-            nW: Optional[int], budget: int = 6 * 2 ** 20) -> int:
-    weights = 2 * (C * 3 * C + C * C) * itemsize          # qkv+proj, 2 buffers
-    table = nH * N * N * 4
+            nW: Optional[int], budget: int = None) -> int:
+    """Largest per-program window-block W under the VMEM budget, with tile
+    padding. Weights and the all-heads bias (compute dtype) stay resident
+    (constant index maps); one head's fp32 logits + dtype probs live at a
+    time; the fp32 qkv accumulator is the largest per-block temporary."""
+    if budget is None:
+        budget = _BLOCK_VMEM_BUDGET
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    Cp = _pad_to(C, 128)
+    C3p = _pad_to(3 * C, 128)
+    weights = 2 * (C * C3p + Cp * Cp) * itemsize          # qkv+proj, 2 buffers
+    table = 2 * nH * Np_s * Np_l * itemsize + Np_s * Np_l * 4
     if weights + table > budget:
         return 0
-    for w in (8, 4, 2, 1):
+    for w in (16, 8, 4, 2, 1):
         if Bn % w:
             continue
         if nW is not None and (w > nW or nW % w):
             continue
-        act = (w * N * C * itemsize * 2        # x in + out
-               + N * C * 4                     # x fp32
-               + N * 3 * C * (4 + itemsize)    # qkv fp32 + cast
-               + 2 * N * N * 4                 # logits + probs (one head)
-               + N * C * itemsize              # attn scratch
-               + (w * N * N * 4 if nW is not None else 0))
+        act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buffers
+               + w * Np_s * Cp * 4                  # x fp32
+               + w * Np_s * Cp * itemsize           # xn
+               + w * Np_s * C3p * (4 + itemsize)    # qkv fp32 + cast
+               + w * Np_s * Np_l * (4 + itemsize)   # logits + probs (1 head)
+               + w * Np_s * Cp * itemsize           # attn scratch
+               + (w * Np_s * Np_l * (2 * itemsize + 4)
+                  if nW is not None else 0))        # mask x2 + f32 copy
         if weights + table + act <= budget:
             return w
     return 0
@@ -156,7 +189,7 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     args = [x, ln_scale.astype(f32).reshape(1, C),
             ln_bias.astype(f32).reshape(1, C),
             wqkv.astype(x.dtype), bqkv.astype(f32).reshape(1, 3 * C),
-            bias.astype(f32)]
+            bias.astype(x.dtype)]
     cost = pl.CostEstimate(
         flops=2 * Bn * N * (3 * C * C + 2 * N * C + C * C),
         bytes_accessed=2 * Bn * N * C * x.dtype.itemsize,
@@ -169,11 +202,13 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
             in_specs=common_in + tail_in,
             out_specs=x_spec,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            scratch_shapes=[pltpu.VMEM((N, C), x.dtype)],
+            scratch_shapes=[pltpu.VMEM((W, N, C), x.dtype)],
             cost_estimate=cost,
             interpret=not _is_tpu(),
         )(*args, wproj.astype(x.dtype), bproj.astype(f32).reshape(1, C))
-    mask_spec = pl.BlockSpec((W, N, N), lambda i: ((i * W) % nW, 0, 0),
+    # BLOCK index semantics (element offset = index * block dim):
+    # i % (nW // W), NOT (i*W) % nW — see window_attention._forward_v2
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel_masked, eps=eps, scale=scale, nH=nH),
@@ -181,10 +216,10 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
         in_specs=common_in + [mask_spec] + tail_in,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((N, C), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((W, N, C), x.dtype)],
         cost_estimate=cost,
         interpret=not _is_tpu(),
-    )(*args, mask.astype(f32), wproj.astype(x.dtype),
+    )(*args, mask.astype(x.dtype), wproj.astype(x.dtype),
       bproj.astype(f32).reshape(1, C))
 
 

@@ -41,6 +41,21 @@ def _erf(z):
     return s * (1.0 - poly * jnp.exp(-z * z))
 
 
+# gelu experiment knob: the rational erf costs ~16 VPU ops incl. a divide
+# and an exp per element on the (R, 4C) hidden — the kernel's largest VPU
+# pass. 'tanh' selects the BERT tanh approximation (~8 ops, one tanh,
+# |err| <= 1e-3 abs); exact erf stays the default (goldens are pinned
+# against scipy erf).
+_GELU_MODE = __import__("os").environ.get("CLOVER_MLP_GELU", "erf")
+
+
+def _gelu(h):
+    if _GELU_MODE == "tanh":
+        return 0.5 * h * (1.0 + jnp.tanh(
+            0.7978845608028654 * (h + 0.044715 * h * h * h)))
+    return 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+
+
 def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             acc_ref, *, eps: float, n_chunks: int, rs_ref=None):
     j = pl.program_id(1)
@@ -51,8 +66,7 @@ def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     xn = xc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
     h = jnp.dot(xn.astype(x_ref.dtype), w1_ref[:],
                 preferred_element_type=jnp.float32) + b1_ref[:]
-    # exact gelu via the rational erf (Mosaic lacks erf/erfc primitives)
-    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = _gelu(h)
     y = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
                 preferred_element_type=jnp.float32)        # (R, C)
 
@@ -127,7 +141,7 @@ def _kernel_postln(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     x = x_ref[:].astype(jnp.float32)                       # (R, C)
     h = jnp.dot(x_ref[:], w1_ref[:],
                 preferred_element_type=jnp.float32) + b1_ref[:]
-    h = 0.5 * h * (1.0 + _erf(h * 0.7071067811865476))
+    h = _gelu(h)
     y = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
                 preferred_element_type=jnp.float32)        # (R, C)
 

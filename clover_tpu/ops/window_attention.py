@@ -457,17 +457,48 @@ spatial_window_attention.defvjp(_spatial_fwd, _spatial_bwd)
 # block fits VMEM up to stage 4 of Swin-B.
 
 
+import os as _os
+
+# bf16 exp experiment: the (W, N, N) exp is the kernel's largest VPU pass;
+# packed-bf16 VPU ops run 2 lanes/cycle. After the max subtraction the
+# argument is in (-inf, 0] and exp in [0, 1], where bf16's 8-bit mantissa
+# bounds the per-weight relative error at ~0.4% — the probs are cast to
+# bf16 for the pv dot anyway, so only the normalizer loses precision
+# (summed in fp32).
+_EXP_BF16 = _os.environ.get("CLOVER_WA_EXP_BF16", "0") != "0"
+
+
+def _vmem_softmax(logits, out_dtype):
+    """Softmax over the last axis with reciprocal-multiply normalization:
+    the VPU divide on the full (W, N, N) block is multi-cycle per element;
+    reciprocal on the (W, N, 1) denominator + a 1-cycle multiply is
+    measurably cheaper at N=392 (BASELINE.md kernel log)."""
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    if _EXP_BF16:
+        e = jnp.exp((logits - m).astype(jnp.bfloat16))
+        r = jax.lax.reciprocal(
+            jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32))
+        return (e * r.astype(jnp.bfloat16)).astype(out_dtype)
+    e = jnp.exp(logits - m)
+    r = jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
+    return (e * r).astype(out_dtype)
+
+
 def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
     C = nH * hd
+    sc = qkv_ref.dtype.type(scale)
     for h in range(nH):                              # static offsets
-        q = qkv_ref[:, :, h * hd:(h + 1) * hd]       # (W, N, hd) input dtype
+        # scale on the (W, N, hd) q slice, not the (W, N, N) f32 logits:
+        # N/hd-fold fewer VPU elements; one extra bf16 rounding on q, the
+        # same order as the quantization the bf16 dot inputs already carry
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd] * sc  # (W, N, hd) input dtype
         k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
         v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # (W, N, N) f32 acc
+            preferred_element_type=jnp.float32)      # (W, N, N) f32 acc
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(qkv_ref.dtype)
+        probs = _vmem_softmax(logits, qkv_ref.dtype)
         out = jax.lax.dot_general(
             probs, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -477,16 +508,17 @@ def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
 def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
                              scale, nH, hd):
     C = nH * hd
+    sc = qkv_ref.dtype.type(scale)
     for h in range(nH):
-        q = qkv_ref[:, :, h * hd:(h + 1) * hd]
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd] * sc
         k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
         v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        probs = jax.nn.softmax(logits, axis=-1).astype(qkv_ref.dtype)
+        probs = _vmem_softmax(logits, qkv_ref.dtype)
         out = jax.lax.dot_general(
             probs, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -499,15 +531,16 @@ def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
     q/k/v lane slices and bias rows, so the VMEM-resident bias shrinks
     nH/G-fold — what lets 32-frame stages 2-3 (nH=16/32, N=392) run fused
     instead of falling back to XLA (TODO r1 / VERDICT item 3)."""
+    sc = q_ref.dtype.type(scale)
     for h in range(G):                               # static offsets
-        q = q_ref[:, :, h * hd:(h + 1) * hd]
+        q = q_ref[:, :, h * hd:(h + 1) * hd] * sc
         k = k_ref[:, :, h * hd:(h + 1) * hd]
         v = v_ref[:, :, h * hd:(h + 1) * hd]
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(q_ref.dtype)
+        probs = _vmem_softmax(logits, q_ref.dtype)
         out = jax.lax.dot_general(
             probs, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -516,16 +549,17 @@ def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
 
 def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
                                      out_ref, *, scale, G, hd):
+    sc = q_ref.dtype.type(scale)
     for h in range(G):
-        q = q_ref[:, :, h * hd:(h + 1) * hd]
+        q = q_ref[:, :, h * hd:(h + 1) * hd] * sc
         k = k_ref[:, :, h * hd:(h + 1) * hd]
         v = v_ref[:, :, h * hd:(h + 1) * hd]
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        probs = jax.nn.softmax(logits, axis=-1).astype(q_ref.dtype)
+        probs = _vmem_softmax(logits, q_ref.dtype)
         out = jax.lax.dot_general(
             probs, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -1115,17 +1149,23 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
     def _():
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
+    sc = qkv_ref.dtype.type(scale)
     for h in range(nH):
-        q = qkv_ref[:, :, h * hd:(h + 1) * hd]               # (W, N, hd)
+        # qs = q*scale in bf16: logits = qs·k needs no (W,N,N) scale pass,
+        # and dk = dlogᵀ·q·scale = dlogᵀ·qs absorbs its scale too (dq keeps
+        # an explicit one). Same single-rounding argument as the fwd kernel.
+        qs = qkv_ref[:, :, h * hd:(h + 1) * hd] * sc         # (W, N, hd)
         k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
         v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
         logits = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale      # (W, Nq, Nk)
+            qs, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
-        p32 = jax.nn.softmax(logits, axis=-1)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
         p = p32.astype(qkv_ref.dtype)
         g_h = g_ref[:, :, h * hd:(h + 1) * hd]               # (W, Nq, hd)
         # dv = p^T g  (contract the query axis)
@@ -1143,8 +1183,8 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
             dlog_b, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale      # (W, Nq, hd)
         dk = jax.lax.dot_general(
-            dlog_b, q, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale      # (W, Nk, hd)
+            dlog_b, qs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nk, hd)
         dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, :, C + h * hd:C + (h + 1) * hd] = dk.astype(
             dqkv_ref.dtype)
