@@ -251,6 +251,8 @@ def _window_shift_perm_np(dims: Tuple3, window: Tuple3, shift: Tuple3):
 
 
 _WIN_PERM_MODE = _os.environ.get("CLOVER_WIN_PERM", "compose")
+# fully-fused attention half-block in the window-resident path (A/B knob)
+_FUSED_ATTN = _os.environ.get("CLOVER_FUSED_ATTN", "0") != "0"
 
 
 def _apply_window_perm(x: jax.Array, dims: Tuple3, window: Tuple3,
@@ -571,6 +573,20 @@ class SwinBlock3D(nn.Module):
             mask_np = shift_attn_mask(dims, window, shift)
             attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
 
+        # fully-fused half-block: LN1 + qkv + attention + proj + residual in
+        # one kernel — no XLA GEMMs (and none of their layout copies) and no
+        # HBM round-trip of the 3C qkv tensor. Eval-shaped only: DropPath
+        # has no in-kernel row scale, so gate on inactive drops.
+        if (_FUSED_ATTN and self.attn_drop == 0.0
+                and (deterministic
+                     or (self.drop == 0.0 and self.drop_path == 0.0))
+                and impl.startswith("pallas")):
+            x = self._fused_resident_half(x, window, attn_mask, N)
+            x = self._mlp_half(x, deterministic)
+            if do_shift:
+                x = _apply_window_perm(x, dims, window, shift, inverse=True)
+            return x
+
         shortcut = x
         xn = layer_norm(dtype=self.dtype, name="norm1")(x, deterministic)
         attn_module = WindowAttention3D(
@@ -624,6 +640,33 @@ class SwinBlock3D(nn.Module):
         h = mlp(h, deterministic=deterministic)
         return x + DropPath(self.drop_path, name="drop_path2")(
             h, deterministic=deterministic)
+
+    def _fused_resident_half(self, x: jax.Array, window, attn_mask,
+                             N: int) -> jax.Array:
+        """Window-resident fused half-block: x (B, L, C) already window-major
+        (and already permuted for shifted blocks); runs the whole
+        LN1+attn+proj+residual in one Pallas kernel. Params declared at the
+        canonical norm1/attn paths — checkpoint-identical to the unfused
+        path."""
+        from clover_tpu.ops.attn_block import fused_window_attn_block
+        from clover_tpu.models.layers import LayerNormParams
+
+        B, L, C = x.shape
+        ln_scale, ln_bias = LayerNormParams(C, name="norm1")()
+        k_qkv, b_qkv, k_proj, b_proj, bias_table = _WindowAttentionParams(
+            self.dim, self.num_heads, tuple(self.window_size), self.qkv_bias,
+            name="attn")()
+        rp_index = relative_position_index(self.window_size, tuple(window))
+        bias = bias_table[rp_index.reshape(-1)].reshape(
+            N, N, self.num_heads).transpose(2, 0, 1)
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+        qkv_bias_val = (b_qkv if self.qkv_bias
+                        else jnp.zeros((3 * C,), jnp.float32))
+        y = fused_window_attn_block(
+            x.reshape(-1, N, C), ln_scale, ln_bias, k_qkv, qkv_bias_val,
+            bias, attn_mask, k_proj, b_proj, scale)
+        return y.reshape(B, L, C)
 
     def _fused_attn_half(self, x: jax.Array, window, shift,
                          deterministic: bool) -> jax.Array:

@@ -135,6 +135,186 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
     return 0
 
 
+def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                    wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref, *,
+                    eps: float, scale: float, G: int, hd: int, nG: int,
+                    mask_ref=None):
+    """Head-group-tiled fused half-block: grid (Bn//W, nG), g fastest.
+
+    Per (i, g) program: the group's 3·gw-column stripe of the qkv
+    projection, G heads of attention, and the group's gw-row stripe of the
+    output projection, accumulated into an fp32 VMEM scratch across g
+    steps (the out block's index map ignores g, so it is revisited). LN
+    runs once at g == 0 and is cached in VMEM — what lets stages whose
+    all-heads bias cannot fit (Swin-B stages 2-3 at N=392) still run the
+    whole half-block in one fused pass."""
+    g = pl.program_id(1)
+    gw = G * hd
+
+    @pl.when(g == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)              # (W, N, C)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn_ref[:] = (xc * jax.lax.rsqrt(var + eps) * s_ref[0]
+                     + b_ref[0]).astype(xn_ref.dtype)
+
+    qkv = jax.lax.dot_general(
+        xn_ref[:], wqkv_ref[0], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv = qkv.astype(x_ref.dtype)                     # (W, N, 3·gw)
+    sc = x_ref.dtype.type(scale)
+    for h in range(G):                                # static offsets
+        q = qkv[:, :, h * hd:(h + 1) * hd] * sc
+        k = qkv[:, :, gw + h * hd:gw + (h + 1) * hd]
+        v = qkv[:, :, 2 * gw + h * hd:2 * gw + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[:].astype(jnp.float32)
+        probs = _vmem_softmax(logits, x_ref.dtype)
+        o = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        attn_ref[:, :, h * hd:(h + 1) * hd] = o.astype(attn_ref.dtype)
+    y = jax.lax.dot_general(
+        attn_ref[:], wp_ref[0], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (W, N, C) partial
+
+    @pl.when(g == 0)
+    def _():
+        acc_ref[:] = x_ref[:].astype(jnp.float32) + y
+
+    @pl.when(g > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + y
+
+    @pl.when(g == nG - 1)
+    def _():
+        out_ref[:] = (acc_ref[:] + bp_ref[0]).astype(out_ref.dtype)
+
+
+def _kernel_grouped_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                           mask_ref, wp_ref, bp_ref, out_ref, xn_ref,
+                           attn_ref, acc_ref, *, eps, scale, G, hd, nG):
+    _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                    wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
+                    eps=eps, scale=scale, G=G, hd=hd, nG=nG,
+                    mask_ref=mask_ref)
+
+
+def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
+             nW: Optional[int], budget: int = None):
+    """(W, G) for the grouped fused half-block, or (0, 0).
+
+    Prefers gw = G*hd in [128, 256] (full lane tiles with the least
+    acc-revisit overhead), then the largest W under the budget."""
+    if budget is None:
+        budget = _BLOCK_VMEM_BUDGET
+    hd = C // nH
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    Cp = _pad_to(C, 128)
+    groups = [g for g in (16, 8, 4, 2, 1) if nH % g == 0 and g < nH]
+    groups.sort(key=lambda g: (abs(g * hd - 192), -g))
+    for G in groups:
+        gw = G * hd
+        g3p = _pad_to(3 * gw, 128)
+        gwp = _pad_to(gw, 128)
+        weights = 2 * (C * g3p + gwp * Cp) * itemsize
+        table = 2 * G * Np_s * Np_l * itemsize + Np_s * Np_l * 4
+        if weights + table > budget:
+            continue
+        for w in (8, 4, 2, 1):
+            if Bn % w:
+                continue
+            if nW is not None and (w > nW or nW % w):
+                continue
+            act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buf
+                   + w * Np_s * Cp * (itemsize + 4)     # xn + acc scratch
+                   + w * Np_s * g3p * (4 + itemsize)    # qkv fp32 + cast
+                   + w * Np_s * Np_l * (4 + itemsize)   # logits + probs
+                   + w * Np_s * gwp * itemsize          # attn scratch
+                   + (w * Np_s * Np_l * (2 * itemsize + 4)
+                      if nW is not None else 0))
+            if weights + table + act <= budget:
+                return w, G
+    return 0, 0
+
+
+def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
+                     wproj, bproj, scale, eps):
+    """Grouped-grid path; returns None when no (W, G) fits."""
+    Bn, N, C = x.shape
+    nH = bias.shape[0]
+    hd = C // nH
+    nW = None if mask is None else mask.shape[0]
+    W, G = _pick_wg(Bn, nH, N, C, x.dtype.itemsize, nW)
+    if W == 0:
+        return None
+    nG = nH // G
+    gw = G * hd
+    f32 = jnp.float32
+    # regroup the projections so each g block is contiguous:
+    # wqkv (C, 3C) -> (nG, C, 3*gw) with [q|k|v] stripes per group
+    wqkv_g = wqkv.reshape(C, 3, nG, gw).transpose(2, 0, 1, 3).reshape(
+        nG, C, 3 * gw).astype(x.dtype)
+    bqkv_g = bqkv.reshape(3, nG, gw).transpose(1, 0, 2).reshape(
+        nG, 3 * gw).astype(f32)
+    wproj_g = wproj.reshape(nG, gw, C).astype(x.dtype)
+    x_spec = pl.BlockSpec((W, N, C), lambda i, g: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda i, g: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    gsel = lambda shape: pl.BlockSpec(
+        shape, lambda i, g: (g,) + tuple(0 for _ in shape[1:]),
+        memory_space=pltpu.VMEM)
+    common_in = [
+        x_spec,
+        const2((1, C)), const2((1, C)),
+        gsel((1, C, 3 * gw)), gsel((1, 3 * gw)),
+        gsel((G, N, N)),                      # block index over nH dim
+    ]
+    tail_in = [gsel((1, gw, C)), const2((1, C))]
+    args = [x, ln_scale.astype(f32).reshape(1, C),
+            ln_bias.astype(f32).reshape(1, C),
+            wqkv_g, bqkv_g, bias.astype(x.dtype)]
+    scratch = [pltpu.VMEM((W, N, C), x.dtype),      # xn cache
+               pltpu.VMEM((W, N, gw), x.dtype),     # attn
+               pltpu.VMEM((W, N, C), jnp.float32)]  # acc
+    cost = pl.CostEstimate(
+        flops=2 * Bn * N * (3 * C * C + 2 * N * C + C * C),
+        bytes_accessed=2 * Bn * N * C * x.dtype.itemsize,
+        transcendentals=Bn * nH * N * N,
+    )
+    kwargs = dict(eps=eps, scale=scale, G=G, hd=hd, nG=nG)
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_kernel_grouped, **kwargs),
+            grid=(Bn // W, nG),
+            in_specs=common_in + tail_in,
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=not _is_tpu(),
+        )(*args, wproj_g, bproj.astype(f32).reshape(1, C))
+    mask_spec = pl.BlockSpec((W, N, N), lambda i, g: (i % (nW // W), 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_grouped_masked, **kwargs),
+        grid=(Bn // W, nG),
+        in_specs=common_in + [mask_spec] + tail_in,
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=not _is_tpu(),
+    )(*args, mask.astype(x.dtype), wproj_g, bproj.astype(f32).reshape(1, C))
+
+
 def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
                    wproj, bproj, scale, eps):
     Bn, N, C = x.shape
@@ -172,6 +352,13 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     nW = None if mask is None else mask.shape[0]
     W = _pick_w(Bn, nH, N, C, x.dtype.itemsize, nW) if use_pallas else 0
     if W == 0:
+        if use_pallas:
+            # all-heads bias busts VMEM (Swin-B stages 2-3 at N=392):
+            # tile the grid over head groups before giving up
+            out = _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias,
+                                   mask, wproj, bproj, scale, eps)
+            if out is not None:
+                return out
         return _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
                               wproj, bproj, scale, eps)
     f32 = jnp.float32
@@ -239,16 +426,47 @@ def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj)
 
 
+def _composed_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
+                        wproj, bproj, scale, eps):
+    """Same math as the fused kernel, expressed through ops whose own
+    custom vjps carry fused backward kernels: the recompute-based vjp of
+    THIS function runs the flat attention bwd Pallas kernel on TPU instead
+    of XLA's einsum chain (the r1 trace showed that chain spending 46% of
+    bwd device time in relayout copies). Off-TPU every piece falls back to
+    equivalent XLA math. Mask grads are zero on the kernel path (shift
+    masks are trace-time constants — see flat_window_attention's
+    contract)."""
+    from clover_tpu.ops.window_attention import flat_window_attention
+
+    Bn, N, C = x.shape
+    nH = bias.shape[0]
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias).astype(x.dtype)
+    qkv = (jnp.dot(xn.reshape(-1, C), wqkv.astype(x.dtype),
+                   preferred_element_type=jnp.float32) + bqkv)
+    qkv = qkv.astype(x.dtype).reshape(Bn, N, 3 * C)
+    attn = flat_window_attention(
+        qkv, bias, None if mask is None else mask.astype(jnp.float32),
+        scale, nH)
+    y = (jnp.dot(attn.reshape(-1, C), wproj.astype(x.dtype),
+                 preferred_element_type=jnp.float32)
+         + bproj).reshape(Bn, N, C)
+    return (x32 + y).astype(x.dtype)
+
+
 def _bwd(scale, eps, residuals, g):
     x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj = residuals
     if mask is None:
         _, vjp = jax.vjp(
-            lambda *a: _xla_reference(*a[:6], None, *a[6:], scale, eps),
+            lambda *a: _composed_reference(*a[:6], None, *a[6:], scale, eps),
             x, ln_scale, ln_bias, wqkv, bqkv, bias, wproj, bproj)
         dx, dls, dlb, dwqkv, dbqkv, dbias, dwp, dbp = vjp(g)
         return dx, dls, dlb, dwqkv, dbqkv, dbias, None, dwp, dbp
     _, vjp = jax.vjp(
-        lambda *a: _xla_reference(*a, scale, eps),
+        lambda *a: _composed_reference(*a, scale, eps),
         x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj)
     return vjp(g)
 

@@ -102,3 +102,66 @@ def test_swin_fused_block_grads_flow():
             leaf = leaf[k]
         arr = np.asarray(leaf)
         assert np.all(np.isfinite(arr)) and np.abs(arr).max() > 0, path
+
+
+def test_window_resident_fused_half_matches_unfused(monkeypatch):
+    """CLOVER_FUSED_ATTN routes the window-resident path through the fused
+    half-block; outputs must match the unfused resident path at bf16
+    tolerance and the param tree must be unchanged (checkpoint-compatible)."""
+    import clover_tpu.models.swin3d as s3
+
+    cfg = SwinConfig(patch_size=(2, 4, 4), embed_dim=32, depths=(2, 2),
+                     num_heads=(2, 4), window_size=(2, 7, 7),
+                     attention_impl="pallas_flat", window_resident=True)
+    model = SwinTransformer3D(cfg, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 4, 28, 28, 3)),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+
+    monkeypatch.setattr(s3, "_FUSED_ATTN", True)
+    monkeypatch.setattr(AB, "_FORCE_PALLAS", True)   # interpret kernel on CPU
+    out = model.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.05)
+    assert (jax.tree_util.tree_structure(model.init(jax.random.PRNGKey(0), x))
+            == jax.tree_util.tree_structure(params))
+
+
+@pytest.mark.parametrize("Bn,N,C,nH,nW", [
+    (8, 8, 64, 4, None),
+    (8, 8, 64, 4, 4),        # shifted: per-window mask
+    (4, 12, 96, 3, 2),       # nH=3 -> G=1 (non-power-of-two heads)
+])
+def test_grouped_kernel_matches_reference(Bn, N, C, nH, nW):
+    """Head-group-tiled fused half-block (grid over groups, fp32 out
+    accumulator) vs the XLA reference, interpret mode."""
+    rng = np.random.default_rng(0)
+    args = _args(rng, Bn, N, C, nH, nW, dtype=jnp.bfloat16)
+    out = AB._forward_grouped(*args, 0.125, 1e-5)
+    assert out is not None
+    ref = AB._xla_reference(*args, 0.125, 1e-5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=0.05)
+
+
+def test_forward_falls_back_to_grouped(monkeypatch):
+    """When the all-heads budget is too small for _pick_w, _forward must
+    route through the grouped kernel (not the XLA reference)."""
+    monkeypatch.setattr(AB, "_FORCE_PALLAS", True)
+    calls = {}
+    orig = AB._forward_grouped
+
+    def spy(*a, **k):
+        calls["hit"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(AB, "_forward_grouped", spy)
+    monkeypatch.setattr(AB, "_pick_w", lambda *a, **k: 0)
+    rng = np.random.default_rng(1)
+    args = _args(rng, 8, 8, 64, 4, None, dtype=jnp.bfloat16)
+    out = AB.fused_window_attn_block(*args, 0.125)
+    ref = AB._xla_reference(*args, 0.125, 1e-5)
+    assert calls.get("hit")
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=0.05)
