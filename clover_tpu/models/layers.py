@@ -167,12 +167,15 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     drop_rate: float = 0.0
+    # tanh-approximate gelu (must match the fused-kernel mode so the
+    # fused/unfused paths stay numerically interchangeable)
+    approx_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         x = dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.approx_gelu)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         x = dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)

@@ -101,6 +101,13 @@ class SwinConfig:
     # parity-tested vs the unfused graph; XLA fallback off-TPU and when
     # in-MLP dropout is active (drop>0, unused by live configs).
     fused_mlp: bool = True
+    # gelu flavor for the MLP halves: 'tanh' (original-BERT approximation,
+    # |err| <= 5e-4 abs — far below bf16 activation noise) measured +5.5%
+    # on 32-frame eval (the rational-erf emulation is the MLP kernel's
+    # largest VPU pass; Mosaic has no erf primitive). INTENTIONAL
+    # DIVERGENCE from the reference's exact-erf nn.GELU
+    # (swin_transformer_3d.py:250-268) — set 'erf' for strict parity.
+    gelu: str = "tanh"
 
     @property
     def num_features(self) -> int:
@@ -250,7 +257,7 @@ def _window_shift_perm_np(dims: Tuple3, window: Tuple3, shift: Tuple3):
     return perm.astype(np.int32), inv_perm.astype(np.int32)
 
 
-_WIN_PERM_MODE = _os.environ.get("CLOVER_WIN_PERM", "compose")
+_WIN_PERM_MODE = _os.environ.get("CLOVER_WIN_PERM", "auto")
 # fully-fused attention half-block in the window-resident path (A/B knob)
 _FUSED_ATTN = _os.environ.get("CLOVER_FUSED_ATTN", "0") != "0"
 
@@ -259,13 +266,20 @@ def _apply_window_perm(x: jax.Array, dims: Tuple3, window: Tuple3,
                        shift: Tuple3, inverse: bool) -> jax.Array:
     """Regroup window-major tokens for (or back from) a shifted block.
 
-    'compose' (default): reverse -> roll -> partition in XLA layout ops —
-    the compiler collapses the chain into 1-2 copies. 'take': a single
-    constant-index gather (measured A/B on TPU; see BASELINE.md).
+    'compose': reverse -> roll -> partition in XLA layout ops — the
+    compiler collapses the chain into 1-2 copies. 'take': a single
+    constant-index gather. 'auto' (default) picks by window token count:
+    measured A/B on TPU (BASELINE.md 2026-08-17) — at N=392 (32-frame)
+    take wins 96.6 vs 93.9; at N=196 (8-frame) compose wins 454.4 vs
+    439.5 (the gather's row granularity beats the copy chain only once
+    rows are lane-width multiples).
     """
     B, L, C = x.shape
     N = window[0] * window[1] * window[2]
-    if _WIN_PERM_MODE == "take":
+    mode = _WIN_PERM_MODE
+    if mode == "auto":
+        mode = "take" if N % 128 == 0 or N >= 384 else "compose"
+    if mode == "take":
         perm, inv = _window_shift_perm_np(tuple(dims), tuple(window),
                                           tuple(shift))
         return jnp.take(x, jnp.asarray(inv if inverse else perm), axis=1)
@@ -463,6 +477,7 @@ class SwinBlock3D(nn.Module):
     attention_impl: str = "xla"
     act_sharding: Optional[Tuple[Optional[str], ...]] = None
     fused_mlp: bool = False
+    gelu: str = "erf"            # 'erf' | 'tanh' (see SwinConfig.gelu)
     # window-resident mode: set to the stage's (D, H, W) to have __call__
     # take/return (B, nW*N, C) tokens already partitioned into unshifted
     # windows. Unshifted blocks then run with ZERO layout ops (the r1
@@ -575,13 +590,20 @@ class SwinBlock3D(nn.Module):
 
         # fully-fused half-block: LN1 + qkv + attention + proj + residual in
         # one kernel — no XLA GEMMs (and none of their layout copies) and no
-        # HBM round-trip of the 3C qkv tensor. Eval-shaped only: DropPath
-        # has no in-kernel row scale, so gate on inactive drops.
+        # HBM round-trip of the 3C qkv tensor. DropPath rides as a
+        # per-window row scale; only in-proj dropout (drop>0, zero in every
+        # live config) forces the unfused path.
         if (_FUSED_ATTN and self.attn_drop == 0.0
-                and (deterministic
-                     or (self.drop == 0.0 and self.drop_path == 0.0))
+                and (deterministic or self.drop == 0.0)
                 and impl.startswith("pallas")):
-            x = self._fused_resident_half(x, window, attn_mask, N)
+            row_scale = None
+            if not deterministic and self.drop_path > 0.0:
+                keep = 1.0 - self.drop_path
+                rng = self.make_rng("dropout")
+                mask_b = jax.random.bernoulli(rng, p=keep, shape=(B,))
+                per_sample = mask_b.astype(jnp.float32) / keep
+                row_scale = jnp.repeat(per_sample, L // N)  # (Bn,)
+            x = self._fused_resident_half(x, window, attn_mask, N, row_scale)
             x = self._mlp_half(x, deterministic)
             if do_shift:
                 x = _apply_window_perm(x, dims, window, shift, inverse=True)
@@ -630,11 +652,13 @@ class SwinBlock3D(nn.Module):
                 rows_per_sample = int(np.prod(x.shape[1:-1]))
                 row_scale = jnp.repeat(per_sample, rows_per_sample)
             out = fused_ln_mlp_residual(
-                x.reshape(-1, C), scale, bias, k1, b1, k2, b2, row_scale)
+                x.reshape(-1, C), scale, bias, k1, b1, k2, b2, row_scale,
+                1e-5, self.gelu)
             return out.reshape(x.shape)
 
         norm2 = layer_norm(dtype=self.dtype, name="norm2")
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop_rate=self.drop,
+                  approx_gelu=(self.gelu == "tanh"),
                   dtype=self.dtype, name="mlp")
         h = norm2(x, deterministic)
         h = mlp(h, deterministic=deterministic)
@@ -642,7 +666,7 @@ class SwinBlock3D(nn.Module):
             h, deterministic=deterministic)
 
     def _fused_resident_half(self, x: jax.Array, window, attn_mask,
-                             N: int) -> jax.Array:
+                             N: int, row_scale=None) -> jax.Array:
         """Window-resident fused half-block: x (B, L, C) already window-major
         (and already permuted for shifted blocks); runs the whole
         LN1+attn+proj+residual in one Pallas kernel. Params declared at the
@@ -665,7 +689,7 @@ class SwinBlock3D(nn.Module):
                         else jnp.zeros((3 * C,), jnp.float32))
         y = fused_window_attn_block(
             x.reshape(-1, N, C), ln_scale, ln_bias, k_qkv, qkv_bias_val,
-            bias, attn_mask, k_proj, b_proj, scale)
+            bias, attn_mask, k_proj, b_proj, row_scale, scale)
         return y.reshape(B, L, C)
 
     def _fused_attn_half(self, x: jax.Array, window, shift,
@@ -715,7 +739,7 @@ class SwinBlock3D(nn.Module):
         y = fused_window_attn_block(
             x_windows, p_norm["scale"], p_norm["bias"],
             p_attn["qkv"]["kernel"], qkv_bias_val, bias, mask,
-            p_attn["proj"]["kernel"], p_attn["proj"]["bias"], scale)
+            p_attn["proj"]["kernel"], p_attn["proj"]["bias"], None, scale)
         x = window_reverse(y, window, B, D, H, W_)
         if do_shift:
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))
@@ -896,6 +920,7 @@ class SwinTransformer3D(nn.Module):
                     attention_impl=cfg.attention_impl,
                     act_sharding=cfg.act_sharding,
                     fused_mlp=cfg.fused_mlp,
+                    gelu=cfg.gelu,
                     resident_dims=dims if resident else None,
                     dtype=self.dtype,
                     name=f"stage_{i_stage}_block_{i_blk}",

@@ -43,13 +43,14 @@ _FORCE_PALLAS = False   # tests: interpret mode on CPU
 
 def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref, *,
-            eps: float, scale: float, nH: int, mask_ref=None):
+            eps: float, scale: float, nH: int, mask_ref=None, rs_ref=None):
     """v2 (bf16-dot protocol, like window_attention.py's flat v5): every
     dot is batched over the whole (W, ...) block and feeds the MXU the
     input dtype with fp32 accumulation; the per-window python loop of v1
     (small unbatched dots, fp32 MXU inputs — the measured 8x penalty) is
     gone. One head's fp32 logits live at a time; bias rides VMEM-resident
-    in the compute dtype."""
+    in the compute dtype. rs_ref: optional (W, 1, 1) per-window DropPath
+    branch scale."""
     W, N, C = x_ref.shape
     hd = C // nH
     x = x_ref[:].astype(jnp.float32)                      # (W, N, C)
@@ -81,6 +82,8 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bp_ref[0]
+    if rs_ref is not None:
+        y = y * rs_ref[:]
     out_ref[:] = (x + y).astype(out_ref.dtype)
 
 
@@ -90,6 +93,22 @@ def _kernel_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
     _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref,
             eps=eps, scale=scale, nH=nH, mask_ref=mask_ref)
+
+
+def _kernel_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+               wp_ref, bp_ref, rs_ref, out_ref, attn_ref, *,
+               eps, scale, nH):
+    _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+            wp_ref, bp_ref, out_ref, attn_ref,
+            eps=eps, scale=scale, nH=nH, rs_ref=rs_ref)
+
+
+def _kernel_masked_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                      mask_ref, wp_ref, bp_ref, rs_ref, out_ref, attn_ref, *,
+                      eps, scale, nH):
+    _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+            wp_ref, bp_ref, out_ref, attn_ref,
+            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, rs_ref=rs_ref)
 
 
 def _pad_to(n: int, to: int) -> int:
@@ -138,7 +157,7 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
 def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref, *,
                     eps: float, scale: float, G: int, hd: int, nG: int,
-                    mask_ref=None):
+                    mask_ref=None, rs_ref=None):
     """Head-group-tiled fused half-block: grid (Bn//W, nG), g fastest.
 
     Per (i, g) program: the group's 3·gw-column stripe of the qkv
@@ -186,7 +205,7 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 
     @pl.when(g == 0)
     def _():
-        acc_ref[:] = x_ref[:].astype(jnp.float32) + y
+        acc_ref[:] = y
 
     @pl.when(g > 0)
     def _():
@@ -194,7 +213,11 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 
     @pl.when(g == nG - 1)
     def _():
-        out_ref[:] = (acc_ref[:] + bp_ref[0]).astype(out_ref.dtype)
+        branch = acc_ref[:] + bp_ref[0]
+        if rs_ref is not None:
+            branch = branch * rs_ref[:]
+        out_ref[:] = (x_ref[:].astype(jnp.float32)
+                      + branch).astype(out_ref.dtype)
 
 
 def _kernel_grouped_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
@@ -204,6 +227,24 @@ def _kernel_grouped_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
                     eps=eps, scale=scale, G=G, hd=hd, nG=nG,
                     mask_ref=mask_ref)
+
+
+def _kernel_grouped_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                       wp_ref, bp_ref, rs_ref, out_ref, xn_ref,
+                       attn_ref, acc_ref, *, eps, scale, G, hd, nG):
+    _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                    wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
+                    eps=eps, scale=scale, G=G, hd=hd, nG=nG, rs_ref=rs_ref)
+
+
+def _kernel_grouped_masked_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref,
+                              bias_ref, mask_ref, wp_ref, bp_ref, rs_ref,
+                              out_ref, xn_ref, attn_ref, acc_ref, *,
+                              eps, scale, G, hd, nG):
+    _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
+                    wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
+                    eps=eps, scale=scale, G=G, hd=hd, nG=nG,
+                    mask_ref=mask_ref, rs_ref=rs_ref)
 
 
 def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
@@ -245,7 +286,7 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
 
 
 def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
-                     wproj, bproj, scale, eps):
+                     wproj, bproj, row_scale, scale, eps):
     """Grouped-grid path; returns None when no (W, G) fits."""
     Bn, N, C = x.shape
     nH = bias.shape[0]
@@ -261,8 +302,11 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
     # wqkv (C, 3C) -> (nG, C, 3*gw) with [q|k|v] stripes per group
     wqkv_g = wqkv.reshape(C, 3, nG, gw).transpose(2, 0, 1, 3).reshape(
         nG, C, 3 * gw).astype(x.dtype)
+    # (nG, 1, 3*gw): Mosaic requires the last TWO block dims divisible by
+    # (8, 128) or equal to the array dims — a (1, 3gw) block over a
+    # (nG, 3gw) array violates the sublane rule when nG > 1
     bqkv_g = bqkv.reshape(3, nG, gw).transpose(1, 0, 2).reshape(
-        nG, 3 * gw).astype(f32)
+        nG, 1, 3 * gw).astype(f32)
     wproj_g = wproj.reshape(nG, gw, C).astype(x.dtype)
     x_spec = pl.BlockSpec((W, N, C), lambda i, g: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -274,7 +318,7 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
     common_in = [
         x_spec,
         const2((1, C)), const2((1, C)),
-        gsel((1, C, 3 * gw)), gsel((1, 3 * gw)),
+        gsel((1, C, 3 * gw)), gsel((1, 1, 3 * gw)),
         gsel((G, N, N)),                      # block index over nH dim
     ]
     tail_in = [gsel((1, gw, C)), const2((1, C))]
@@ -290,9 +334,15 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
         transcendentals=Bn * nH * N * N,
     )
     kwargs = dict(eps=eps, scale=scale, G=G, hd=hd, nG=nG)
+    tail_args = [wproj_g, bproj.astype(f32).reshape(1, C)]
+    if row_scale is not None:
+        tail_in.append(pl.BlockSpec((W, 1, 1), lambda i, g: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        tail_args.append(row_scale.astype(f32).reshape(Bn, 1, 1))
     if mask is None:
+        kern = _kernel_grouped_rs if row_scale is not None else _kernel_grouped
         return pl.pallas_call(
-            functools.partial(_kernel_grouped, **kwargs),
+            functools.partial(kern, **kwargs),
             grid=(Bn // W, nG),
             in_specs=common_in + tail_in,
             out_specs=x_spec,
@@ -300,11 +350,13 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
             scratch_shapes=scratch,
             cost_estimate=cost,
             interpret=not _is_tpu(),
-        )(*args, wproj_g, bproj.astype(f32).reshape(1, C))
+        )(*args, *tail_args)
     mask_spec = pl.BlockSpec((W, N, N), lambda i, g: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
+    kern = (_kernel_grouped_masked_rs if row_scale is not None
+            else _kernel_grouped_masked)
     return pl.pallas_call(
-        functools.partial(_kernel_grouped_masked, **kwargs),
+        functools.partial(kern, **kwargs),
         grid=(Bn // W, nG),
         in_specs=common_in + [mask_spec] + tail_in,
         out_specs=x_spec,
@@ -312,11 +364,11 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
         scratch_shapes=scratch,
         cost_estimate=cost,
         interpret=not _is_tpu(),
-    )(*args, mask.astype(x.dtype), wproj_g, bproj.astype(f32).reshape(1, C))
+    )(*args, mask.astype(x.dtype), *tail_args)
 
 
 def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
-                   wproj, bproj, scale, eps):
+                   wproj, bproj, scale, eps, row_scale=None):
     Bn, N, C = x.shape
     nH = bias.shape[0]
     hd = C // nH
@@ -341,11 +393,13 @@ def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
                    v).reshape(Bn, N, C).astype(x.dtype)
     y = jnp.dot(o, wproj.astype(x.dtype),
                 preferred_element_type=jnp.float32) + bproj
+    if row_scale is not None:
+        y = y * row_scale.astype(jnp.float32).reshape(Bn, 1, 1)
     return (x32 + y).astype(x.dtype)
 
 
 def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
-             scale, eps):
+             row_scale, scale, eps):
     Bn, N, C = x.shape
     nH = bias.shape[0]
     use_pallas = _is_tpu() or _FORCE_PALLAS
@@ -356,11 +410,11 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
             # all-heads bias busts VMEM (Swin-B stages 2-3 at N=392):
             # tile the grid over head groups before giving up
             out = _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias,
-                                   mask, wproj, bproj, scale, eps)
+                                   mask, wproj, bproj, row_scale, scale, eps)
             if out is not None:
                 return out
         return _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
-                              wproj, bproj, scale, eps)
+                              wproj, bproj, scale, eps, row_scale)
     f32 = jnp.float32
     x_spec = pl.BlockSpec((W, N, C), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -382,9 +436,15 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
         bytes_accessed=2 * Bn * N * C * x.dtype.itemsize,
         transcendentals=Bn * nH * N * N,
     )
+    tail_args = [wproj.astype(x.dtype), bproj.astype(f32).reshape(1, C)]
+    if row_scale is not None:
+        tail_in.append(pl.BlockSpec((W, 1, 1), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM))
+        tail_args.append(row_scale.astype(f32).reshape(Bn, 1, 1))
     if mask is None:
+        kern = _kernel_rs if row_scale is not None else _kernel
         return pl.pallas_call(
-            functools.partial(_kernel, eps=eps, scale=scale, nH=nH),
+            functools.partial(kern, eps=eps, scale=scale, nH=nH),
             grid=(Bn // W,),
             in_specs=common_in + tail_in,
             out_specs=x_spec,
@@ -392,13 +452,14 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
             scratch_shapes=[pltpu.VMEM((W, N, C), x.dtype)],
             cost_estimate=cost,
             interpret=not _is_tpu(),
-        )(*args, wproj.astype(x.dtype), bproj.astype(f32).reshape(1, C))
+        )(*args, *tail_args)
     # BLOCK index semantics (element offset = index * block dim):
     # i % (nW // W), NOT (i*W) % nW — see window_attention._forward_v2
     mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
+    kern = _kernel_masked_rs if row_scale is not None else _kernel_masked
     return pl.pallas_call(
-        functools.partial(_kernel_masked, eps=eps, scale=scale, nH=nH),
+        functools.partial(kern, eps=eps, scale=scale, nH=nH),
         grid=(Bn // W,),
         in_specs=common_in + [mask_spec] + tail_in,
         out_specs=x_spec,
@@ -406,28 +467,30 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
         scratch_shapes=[pltpu.VMEM((W, N, C), x.dtype)],
         cost_estimate=cost,
         interpret=not _is_tpu(),
-    )(*args, mask.astype(x.dtype), wproj.astype(x.dtype),
-      bproj.astype(f32).reshape(1, C))
+    )(*args, mask.astype(x.dtype), *tail_args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_window_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
-                            wproj, bproj, scale: float, eps: float = 1e-5):
-    """x + proj(window_attention(LN(x))) over partitioned windows
-    (Bn, N, C); see module docstring."""
+                            wproj, bproj, row_scale=None,
+                            scale: float = 1.0, eps: float = 1e-5):
+    """x + row_scale * proj(window_attention(LN(x))) over partitioned
+    windows (Bn, N, C); row_scale is the optional per-window DropPath
+    factor (keep/keep_prob), None = 1. See module docstring."""
     return _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj,
-                    bproj, scale, eps)
+                    bproj, row_scale, scale, eps)
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
-         scale, eps):
+         row_scale, scale, eps):
     out = _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj,
-                   bproj, scale, eps)
-    return out, (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj)
+                   bproj, row_scale, scale, eps)
+    return out, (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
+                 row_scale)
 
 
 def _composed_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
-                        wproj, bproj, scale, eps):
+                        wproj, bproj, scale, eps, row_scale=None):
     """Same math as the fused kernel, expressed through ops whose own
     custom vjps carry fused backward kernels: the recompute-based vjp of
     THIS function runs the flat attention bwd Pallas kernel on TPU instead
@@ -454,21 +517,40 @@ def _composed_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
     y = (jnp.dot(attn.reshape(-1, C), wproj.astype(x.dtype),
                  preferred_element_type=jnp.float32)
          + bproj).reshape(Bn, N, C)
+    if row_scale is not None:
+        y = y * row_scale.astype(jnp.float32).reshape(Bn, 1, 1)
     return (x32 + y).astype(x.dtype)
 
 
 def _bwd(scale, eps, residuals, g):
-    x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj = residuals
-    if mask is None:
-        _, vjp = jax.vjp(
-            lambda *a: _composed_reference(*a[:6], None, *a[6:], scale, eps),
-            x, ln_scale, ln_bias, wqkv, bqkv, bias, wproj, bproj)
-        dx, dls, dlb, dwqkv, dbqkv, dbias, dwp, dbp = vjp(g)
-        return dx, dls, dlb, dwqkv, dbqkv, dbias, None, dwp, dbp
-    _, vjp = jax.vjp(
-        lambda *a: _composed_reference(*a, scale, eps),
-        x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj)
-    return vjp(g)
+    (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
+     row_scale) = residuals
+    diff = [x, ln_scale, ln_bias, wqkv, bqkv, bias]
+    if mask is not None:
+        diff.append(mask)
+    diff += [wproj, bproj]
+    if row_scale is not None:
+        diff.append(row_scale)
+
+    def ref(*a):
+        a = list(a)
+        xx, ls, lb, wq, bq, bi = a[:6]
+        i = 6
+        m = a[i] if mask is not None else None
+        i += mask is not None
+        wp, bp = a[i], a[i + 1]
+        rs = a[i + 2] if row_scale is not None else None
+        return _composed_reference(xx, ls, lb, wq, bq, bi, m, wp, bp,
+                                   scale, eps, rs)
+
+    _, vjp = jax.vjp(ref, *diff)
+    grads = list(vjp(g))
+    i = 6
+    dmask = grads[i] if mask is not None else None
+    i += mask is not None
+    dwp, dbp = grads[i], grads[i + 1]
+    drs = grads[i + 2] if row_scale is not None else None
+    return (*grads[:6], dmask, dwp, dbp, drs)
 
 
 fused_window_attn_block.defvjp(_fwd, _bwd)

@@ -36,19 +36,20 @@ def test_kernel_matches_reference(Bn, N, C, nH, nW, monkeypatch):
     monkeypatch.setattr(AB, "_FORCE_PALLAS", True)
     rng = np.random.default_rng(0)
     args = _args(rng, Bn, N, C, nH, nW)
-    got = AB.fused_window_attn_block(*args, 0.125)
+    got = AB.fused_window_attn_block(*args, None, 0.125)
     ref = AB._xla_reference(*args, 0.125, 1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_kernel_grads_match_reference(monkeypatch):
     monkeypatch.setattr(AB, "_FORCE_PALLAS", True)
     rng = np.random.default_rng(1)
     args = _args(rng, 4, 8, 32, 2, 2)
 
     def loss_fused(*a):
-        return jnp.sum(AB.fused_window_attn_block(*a, 0.2) ** 2)
+        return jnp.sum(AB.fused_window_attn_block(*a, None, 0.2) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(AB._xla_reference(*a, 0.2, 1e-5) ** 2)
@@ -61,6 +62,7 @@ def test_kernel_grads_match_reference(monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_swin_fused_block_parity():
     """attention_impl='fused_block' (+fused_mlp) == default XLA Swin."""
     cfg = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2), embed_dim=16,
@@ -82,6 +84,7 @@ def test_swin_fused_block_parity():
                                rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_swin_fused_block_grads_flow():
     cfg = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2), embed_dim=8,
                      depths=(2,), num_heads=(2,), window_size=(2, 2, 2),
@@ -104,6 +107,7 @@ def test_swin_fused_block_grads_flow():
         assert np.all(np.isfinite(arr)) and np.abs(arr).max() > 0, path
 
 
+@pytest.mark.slow
 def test_window_resident_fused_half_matches_unfused(monkeypatch):
     """CLOVER_FUSED_ATTN routes the window-resident path through the fused
     half-block; outputs must match the unfused resident path at bf16
@@ -138,7 +142,7 @@ def test_grouped_kernel_matches_reference(Bn, N, C, nH, nW):
     accumulator) vs the XLA reference, interpret mode."""
     rng = np.random.default_rng(0)
     args = _args(rng, Bn, N, C, nH, nW, dtype=jnp.bfloat16)
-    out = AB._forward_grouped(*args, 0.125, 1e-5)
+    out = AB._forward_grouped(*args, None, 0.125, 1e-5)
     assert out is not None
     ref = AB._xla_reference(*args, 0.125, 1e-5)
     np.testing.assert_allclose(np.asarray(out, np.float32),
@@ -160,8 +164,33 @@ def test_forward_falls_back_to_grouped(monkeypatch):
     monkeypatch.setattr(AB, "_pick_w", lambda *a, **k: 0)
     rng = np.random.default_rng(1)
     args = _args(rng, 8, 8, 64, 4, None, dtype=jnp.bfloat16)
-    out = AB.fused_window_attn_block(*args, 0.125)
+    out = AB.fused_window_attn_block(*args, None, 0.125)
     ref = AB._xla_reference(*args, 0.125, 1e-5)
     assert calls.get("hit")
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=0.05)
+
+
+def test_row_scale_droppath_grads(monkeypatch):
+    """The DropPath row scale must scale the branch (not the residual) and
+    carry correct gradients through the composed backward."""
+    monkeypatch.setattr(AB, "_FORCE_PALLAS", True)
+    rng = np.random.default_rng(5)
+    args = _args(rng, 8, 8, 64, 2, None)
+    rs = jnp.asarray(np.array([1.25, 0.0, 1.25, 1.25, 0.0, 1.25, 1.25, 1.25],
+                              np.float32))
+
+    out = AB.fused_window_attn_block(*args, rs, 0.125)
+    ref = AB._xla_reference(*args, 0.125, 1e-5, rs)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1e-4)
+    # zero-scale windows pass the residual through untouched
+    np.testing.assert_allclose(np.asarray(out[1], np.float32),
+                               np.asarray(args[0][1], np.float32), atol=1e-6)
+
+    g = jax.grad(lambda r: jnp.sum(
+        AB.fused_window_attn_block(*args, r, 0.125) ** 2))(rs)
+    g_ref = jax.grad(lambda r: jnp.sum(
+        AB._xla_reference(*args, 0.125, 1e-5, r) ** 2))(rs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)

@@ -176,6 +176,7 @@ def test_train_step_improves_loss(retrieval_setup):
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, retrieval_setup):
     ds, model, loader, to_model_batch, params = retrieval_setup
     tx, _ = make_optimizer(params, base_lr=1e-3, total_steps=10,
@@ -221,6 +222,7 @@ def test_retrieval_eval_loop(retrieval_setup):
     assert 0 <= metrics["Recall@1"] <= 100
 
 
+@pytest.mark.slow
 def test_ema_params_update(retrieval_setup):
     ds, model, loader, to_model_batch, params = retrieval_setup
     orig = _copy(params)
@@ -237,6 +239,7 @@ def test_ema_params_update(retrieval_setup):
     assert not np.allclose(np.asarray(e), np.asarray(o))
 
 
+@pytest.mark.slow
 def test_contrastive_alignment_learns(retrieval_setup):
     """Overfit the 8 (video, caption) pairs for ~happens-fast steps and
     check retrieval recall on those pairs rises far above chance — the

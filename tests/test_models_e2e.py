@@ -140,6 +140,7 @@ def test_pretrain_losses_finite_and_keyed(pretrain_setup):
     assert np.isfinite(tot) and tot > 0
 
 
+@pytest.mark.slow
 def test_pretrain_grads_flow(pretrain_setup):
     cfg, model, params, batch = pretrain_setup
 

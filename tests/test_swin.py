@@ -193,6 +193,7 @@ def test_swin_temporal_clamp_runs(tiny_cfg, rng):
     assert out.shape == (1, 2, 2, 2, 8)
 
 
+@pytest.mark.slow
 def test_window_resident_matches_spatial(tiny_cfg, rng):
     """Window-resident stages (partition once per stage, permute only for
     shifted blocks) must be numerically identical to the spatial path —
