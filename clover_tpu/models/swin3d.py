@@ -258,8 +258,18 @@ def _window_shift_perm_np(dims: Tuple3, window: Tuple3, shift: Tuple3):
 
 
 _WIN_PERM_MODE = _os.environ.get("CLOVER_WIN_PERM", "auto")
-# fully-fused attention half-block in the window-resident path (A/B knob)
-_FUSED_ATTN = _os.environ.get("CLOVER_FUSED_ATTN", "0") != "0"
+# fully-fused attention half-block in the window-resident path:
+# 'auto' (default) enables it only for large windows — measured A/B on TPU
+# (BASELINE.md 2026-08-17): at N=392 (32-frame) fused wins 113.1 vs 104.4
+# clips/s; at N=196 (8-frame) it loses 463 vs 484 (the standalone flat
+# kernel + XLA GEMMs keep the MXU busier on small windows). '1'/'0' force.
+_FUSED_ATTN_MODE = _os.environ.get("CLOVER_FUSED_ATTN", "auto")
+
+
+def _fused_attn_enabled(N: int) -> bool:
+    if _FUSED_ATTN_MODE == "auto":
+        return N >= 384
+    return _FUSED_ATTN_MODE != "0"
 
 
 def _apply_window_perm(x: jax.Array, dims: Tuple3, window: Tuple3,
@@ -593,7 +603,7 @@ class SwinBlock3D(nn.Module):
         # HBM round-trip of the 3C qkv tensor. DropPath rides as a
         # per-window row scale; only in-proj dropout (drop>0, zero in every
         # live config) forces the unfused path.
-        if (_FUSED_ATTN and self.attn_drop == 0.0
+        if (_fused_attn_enabled(N) and self.attn_drop == 0.0
                 and (deterministic or self.drop == 0.0)
                 and impl.startswith("pallas")):
             row_scale = None

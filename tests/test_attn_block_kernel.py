@@ -123,7 +123,7 @@ def test_window_resident_fused_half_matches_unfused(monkeypatch):
     params = model.init(jax.random.PRNGKey(0), x)
     ref = model.apply(params, x)
 
-    monkeypatch.setattr(s3, "_FUSED_ATTN", True)
+    monkeypatch.setattr(s3, "_FUSED_ATTN_MODE", "1")
     monkeypatch.setattr(AB, "_FORCE_PALLAS", True)   # interpret kernel on CPU
     out = model.apply(params, x)
     np.testing.assert_allclose(
