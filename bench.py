@@ -173,10 +173,10 @@ def main():
         rng.integers(0, 30522, size=(ITERS, B, 30)), jnp.int32)
     input_mask = jnp.ones((B, 30), jnp.int32)
 
-    def one_batch(params, frames_u8, token_ids):
+    def one_batch(params, frames_u8, token_ids, bias_cache):
         imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.bfloat16)
         return model.apply(params, imgs[:, None], token_ids, input_mask,
-                           method="forward_test")
+                           bias_cache, method="forward_test")
 
     init_imgs = eval_preprocess(frames_all[0], out_size=S, dtype=jnp.bfloat16)
     # NOTE: everything large must be an ARGUMENT of the jitted fns —
@@ -187,20 +187,32 @@ def main():
                                         method="forward_test")
     )(jax.random.PRNGKey(0), init_imgs, token_all[0])
     jax.block_until_ready(params)
+    # precomputed relative-position biases: eval-time constants — as a scan
+    # constant the per-iteration table gathers disappear (~6 ms/iter at
+    # 32 frames; swin3d.swin_bias_cache)
+    from clover_tpu.models.swin3d import swin_bias_cache
+
+    bias_cache = jax.jit(lambda p: swin_bias_cache(
+        p["params"]["backbone"], cfg.swin, (T, S, S)))(params)
 
     @jax.jit
-    def run_all(params, frames_all, token_all):
+    def run_all(params, frames_all, token_all, bias_cache):
         def body(carry, inp):
-            v, t = one_batch(params, *inp)
+            v, t = one_batch(params, *inp, bias_cache)
             return carry + v.astype(jnp.float32).sum(), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0), (frames_all, token_all))
         return total
 
-    out = float(run_all(params, frames_all, token_all))  # compile + warm
+    out = float(run_all(params, frames_all, token_all, bias_cache))  # compile + warm
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:  # steady-state-only trace (tools/profile_bench.py)
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
-    out = float(run_all(params, frames_all, token_all))
+    out = float(run_all(params, frames_all, token_all, bias_cache))
     dt = time.time() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
     assert np.isfinite(out)
     clips_per_sec = B * ITERS / dt
 

@@ -97,23 +97,29 @@ def run_retrieval_eval(
     loader_iter,
     out_size: int = 224,
     dtype=jnp.float32,
+    bias_cache=None,
 ) -> Dict[str, float]:
     """Dual-tower retrieval eval -> R@K metrics.
 
     ``eval_step(params, imgs, token_ids, input_mask) -> (v_emb, t_emb)``.
+    ``bias_cache``: optional swin_bias_cache(params) pytree — precomputed
+    relative-position biases (eval-time constants), forwarded to the step.
     """
     v_list: List[np.ndarray] = []
     t_list: List[np.ndarray] = []
     idx_list: List[np.ndarray] = []
     vid_list: List[np.ndarray] = []
     for batch in loader_iter:
+        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
+            bias_cache = bias_cache(
+                params, (batch["imgs"].shape[2], out_size, out_size))
         imgs = eval_preprocess(
             jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
             out_size=out_size, dtype=dtype)
         n_clips = batch["imgs"].shape[1]
         imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
         v, t = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
-                         jnp.asarray(batch["input_mask"]))
+                         jnp.asarray(batch["input_mask"]), bias_cache)
         v_list.append(np.asarray(v, np.float32))
         t_list.append(np.asarray(t, np.float32))
         idx_list.append(np.asarray(batch["index"]))
@@ -145,6 +151,7 @@ def run_itm_retrieval_eval(
     dtype=jnp.float32,
     top_k: Optional[int] = None,
     pair_batch: int = 32,
+    bias_cache=None,
 ) -> Dict[str, float]:
     """Full-fusion ITM text→video retrieval (reference non-separate test).
 
@@ -168,6 +175,9 @@ def run_itm_retrieval_eval(
     tok_list, v_list, t_list = [], [], []
     ids_list, mask_list, idx_list, vid_list = [], [], [], []
     for batch in loader_iter:
+        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
+            bias_cache = bias_cache(
+                params, (batch["imgs"].shape[2], out_size, out_size))
         imgs = eval_preprocess(
             jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
             out_size=out_size, dtype=dtype)
@@ -175,7 +185,7 @@ def run_itm_retrieval_eval(
         imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
         tokens, v, t = embed_step(
             params, imgs, jnp.asarray(batch["token_ids"]),
-            jnp.asarray(batch["input_mask"]))
+            jnp.asarray(batch["input_mask"]), bias_cache)
         tok_list.append(np.asarray(tokens, np.float32))
         v_list.append(np.asarray(v, np.float32))
         t_list.append(np.asarray(t, np.float32))
@@ -239,19 +249,23 @@ def run_mc_retrieval_eval(
     loader_iter,
     out_size: int = 224,
     dtype=jnp.float32,
+    bias_cache=None,
 ) -> Dict[str, float]:
     """Multiple-choice-as-retrieval: score candidates by tower similarity."""
     from clover_tpu.evaluation.metrics import multiple_choice_retrieval_acc
 
     v_list, t_list, idx_list, vid_list = [], [], [], []
     for batch in loader_iter:
+        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
+            bias_cache = bias_cache(
+                params, (batch["imgs"].shape[2], out_size, out_size))
         imgs = eval_preprocess(
             jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
             out_size=out_size, dtype=dtype)
         n_clips = batch["imgs"].shape[1]
         imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
         v, t = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
-                         jnp.asarray(batch["input_mask"]))
+                         jnp.asarray(batch["input_mask"]), bias_cache)
         v_list.append(np.asarray(v, np.float32))
         t_list.append(np.asarray(t, np.float32))
         idx_list.append(np.asarray(batch["index"]))
@@ -275,6 +289,7 @@ def run_zeroshot_action_eval(
     class_text_embd: np.ndarray,
     out_size: int = 224,
     dtype=jnp.float32,
+    bias_cache=None,
 ) -> Dict[str, float]:
     """Zero-shot action recognition: video embeddings vs class-name text
     embeddings (reference UCF101VideoDataset ->
@@ -283,13 +298,16 @@ def run_zeroshot_action_eval(
 
     v_list, lbl_list, idx_list = [], [], []
     for batch in loader_iter:
+        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
+            bias_cache = bias_cache(
+                params, (batch["imgs"].shape[2], out_size, out_size))
         imgs = eval_preprocess(
             jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
             out_size=out_size, dtype=dtype)
         n_clips = batch["imgs"].shape[1]
         imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
         v, _ = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
-                         jnp.asarray(batch["input_mask"]))
+                         jnp.asarray(batch["input_mask"]), bias_cache)
         v_list.append(np.asarray(v, np.float32))
         lbl_list.append(np.asarray(batch["label"]))
         idx_list.append(np.asarray(batch["index"]))
@@ -308,19 +326,23 @@ def run_qa_eval(
     loader_iter,
     out_size: int = 224,
     dtype=jnp.float32,
+    bias_cache=None,
 ) -> Dict[str, float]:
     """QA eval: argmax accuracy over per-candidate scores."""
     scores: List[np.ndarray] = []
     labels: List[np.ndarray] = []
     idx_list: List[np.ndarray] = []
     for batch in loader_iter:
+        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
+            bias_cache = bias_cache(
+                params, (batch["imgs"].shape[2], out_size, out_size))
         imgs = eval_preprocess(
             jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
             out_size=out_size, dtype=dtype)
         n_clips = batch["imgs"].shape[1]
         imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
         s = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
-                      jnp.asarray(batch["input_mask"]))
+                      jnp.asarray(batch["input_mask"]), bias_cache)
         scores.append(np.asarray(s, np.float32))
         labels.append(np.asarray(batch["label"]))
         idx_list.append(np.asarray(batch["index"]))

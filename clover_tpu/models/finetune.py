@@ -95,11 +95,13 @@ class CloverFinetune(nn.Module):
 
     # ------------------------------------------------------------------ #
 
-    def _visual_feat(self, imgs: jax.Array, n_text: int, det: bool) -> jax.Array:
+    def _visual_feat(self, imgs: jax.Array, n_text: int, det: bool,
+                     bias_cache=None) -> jax.Array:
         cfg = self.config
         if cfg.scale_pixels:
             imgs = imgs / 255.0
-        feat = self.backbone(imgs.astype(self.dtype), deterministic=det)
+        feat = self.backbone(imgs.astype(self.dtype), deterministic=det,
+                             bias_cache=bias_cache)
         if feat.shape[0] != n_text:
             # multi-clip inputs: mean-pool clip features (reference :73-75)
             feat = feat.reshape((n_text, -1) + feat.shape[1:]).mean(axis=1)
@@ -182,7 +184,8 @@ class CloverFinetune(nn.Module):
                                  deterministic=det)
         return self._qa_logits(visual_feat, token_ids, input_mask, det)
 
-    def encode_visual(self, imgs: jax.Array, n_videos: int) -> jax.Array:
+    def encode_visual(self, imgs: jax.Array, n_videos: int,
+                      bias_cache=None) -> jax.Array:
         """Backbone features for the itm eval's cached-token protocol.
 
         Returns (n_videos, T, H*W, C) fusion-layout tokens. The reference's
@@ -191,7 +194,7 @@ class CloverFinetune(nn.Module):
         is numerically identical and O(V) instead of O(V*T) backbone passes.
         """
         imgs = imgs.reshape((-1,) + imgs.shape[-4:])
-        feat = self._visual_feat(imgs, n_videos, True)
+        feat = self._visual_feat(imgs, n_videos, True, bias_cache)
         B, T, H, W, C = feat.shape
         return feat.reshape(B, T, H * W, C)
 
@@ -221,13 +224,14 @@ class CloverFinetune(nn.Module):
         imgs: jax.Array,
         token_ids: jax.Array,
         input_mask: jax.Array,
+        bias_cache=None,   # swin_bias_cache(params) — eval-time constants
     ):
         cfg = self.config
         B = imgs.shape[0]
         imgs = imgs.reshape((-1,) + imgs.shape[-4:])
         token_ids = token_ids.reshape((-1,) + token_ids.shape[-1:])
         input_mask = input_mask.reshape((-1,) + input_mask.shape[-1:])
-        visual_feat = self._visual_feat(imgs, B, True)
+        visual_feat = self._visual_feat(imgs, B, True, bias_cache)
         if cfg.task == "retrieval":
             text_hidden = self.text_backbone(token_ids, input_mask,
                                              deterministic=True)

@@ -203,6 +203,7 @@ class CloverPretrain(nn.Module):
         imgs: jax.Array,
         token_ids: jax.Array,
         input_mask: jax.Array,
+        bias_cache=None,   # swin_bias_cache(params) — eval-time constants
     ):
         """Dual-tower retrieval embeddings (separate_test path, reference
         :194-218) with multi-clip mean pooling."""
@@ -212,7 +213,8 @@ class CloverPretrain(nn.Module):
         input_mask = input_mask.reshape((-1,) + input_mask.shape[-1:])
         if cfg.scale_pixels:
             imgs = imgs / 255.0
-        visual_feat = self.backbone(imgs.astype(self.dtype), deterministic=True)
+        visual_feat = self.backbone(imgs.astype(self.dtype), deterministic=True,
+                                    bias_cache=bias_cache)
         B_text = token_ids.shape[0]
         if visual_feat.shape[0] != B_text:
             clip_shape = (B_text, -1) + visual_feat.shape[1:]

@@ -101,6 +101,15 @@ class SwinConfig:
     # parity-tested vs the unfused graph; XLA fallback off-TPU and when
     # in-MLP dropout is active (drop>0, unused by live configs).
     fused_mlp: bool = True
+    # fold the ImageNet mean/std normalization into the patch-embed
+    # projection weights: the model then takes PIXEL-SCALE input (uint8
+    # cast to compute dtype; eval_preprocess(normalize=False)) and the
+    # (2wi+b) affine rides for free inside the embed GEMM — the
+    # (B, T, 224, 224, 3) normalized intermediate never exists in HBM.
+    # Exact: normalize is per-input-channel affine and the projection is
+    # linear, so W' = W/std_c, b' = b - sum(W * mean_c/std_c). Off by
+    # default (the input contract changes); bench/eval enable it.
+    fold_normalize: bool = False
     # gelu flavor for the MLP halves: 'tanh' (original-BERT approximation,
     # |err| <= 5e-4 abs — far below bf16 activation noise) measured +5.5%
     # on 32-frame eval (the rational-erf emulation is the MLP kernel's
@@ -189,6 +198,63 @@ def shift_attn_mask(
     ).transpose(0, 2, 4, 1, 3, 5).reshape(-1, window[0] * window[1] * window[2])
     diff = wins[:, None, :] - wins[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def embed_dims(cfg: SwinConfig, in_shape: Tuple3) -> Tuple3:
+    """(T, H, W) video -> (D, H', W') token dims after the patch embed."""
+    return tuple(-(-s // p) for s, p in zip(in_shape, cfg.patch_size))
+
+
+def swin_bias_cache(params, cfg: SwinConfig, in_shape: Tuple3):
+    """Precompute every block's (nH, N, N) relative-position bias.
+
+    The per-block ``bias_table[rp_index]`` gather is a pure function of the
+    parameters and the static input shape, but XLA re-executes it on every
+    dispatch (and every lax.scan iteration): the 32-frame eval profile
+    showed ~24 gathers x 0.25 ms = 6 ms/step — TPU row-gathers run at
+    ~1 row/cycle, far under copy bandwidth. Computing the cache ONCE per
+    checkpoint and passing it to ``SwinTransformer3D.__call__(...,
+    bias_cache=...)`` removes that cost from the hot path.
+
+    EVAL-ONLY by design: a cached bias is an input, so no gradient flows
+    to the table — training paths must not pass a cache.
+
+    params:   the backbone's param subtree (contains stage_i_block_j/attn/
+              relative_position_bias_table)
+    in_shape: (T, H, W) of the video fed to the backbone
+    Returns {block_name: (nH, N, N) float32}, suitable for jit.
+    """
+    dims = embed_dims(cfg, in_shape)
+    cache = {}
+    for i_stage in range(len(cfg.depths)):
+        window, _ = effective_window(dims, cfg.window_size, (0, 0, 0))
+        N = int(np.prod(window))
+        nH = cfg.num_heads[i_stage]
+        rp_index = relative_position_index(cfg.window_size, tuple(window))
+        idx = jnp.asarray(rp_index.reshape(-1))
+        for i_blk in range(cfg.depths[i_stage]):
+            name = f"stage_{i_stage}_block_{i_blk}"
+            table = params[name]["attn"]["relative_position_bias_table"]
+            cache[name] = (table.astype(jnp.float32)[idx]
+                           .reshape(N, N, nH).transpose(2, 0, 1))
+        if i_stage < len(cfg.depths) - 1:
+            dims = (dims[0], -(-dims[1] // 2), -(-dims[2] // 2))
+    return cache
+
+
+def bias_cache_builder(cfg: SwinConfig):
+    """Callable form for eval loops: ``build(params, in_shape)`` -> cache.
+
+    ``params`` may be the full model tree (the 'backbone' subtree is
+    auto-selected) or the backbone subtree itself. The eval loops accept
+    this callable via their ``bias_cache`` argument and materialize it at
+    the first batch, when the frame count is known."""
+
+    def build(params, in_shape: Tuple3):
+        sub = params.get("backbone", params) if hasattr(params, "get") else params
+        return jax.jit(lambda p: swin_bias_cache(p, cfg, in_shape))(sub)
+
+    return build
 
 
 def constrain_activation(
@@ -326,6 +392,7 @@ class WindowAttention3D(nn.Module):
         attn_mask: Optional[jax.Array] = None,  # (nW, N, N) additive or None
         *,
         deterministic: bool = True,
+        bias_override: Optional[jax.Array] = None,  # precomputed (nH, N, N)
     ) -> jax.Array:
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
@@ -336,6 +403,15 @@ class WindowAttention3D(nn.Module):
             "relative_position_bias_table", trunc_normal_init,
             (table_len, self.num_heads), jnp.float32)
 
+        def make_bias():
+            # eval-time callers pass the precomputed (nH, N, N) bias
+            # (swin_bias_cache) to skip the per-step table row-gather
+            if bias_override is not None:
+                return bias_override
+            rp_index = relative_position_index(self.full_window, eff_window)
+            return bias_table[rp_index.reshape(-1)].reshape(
+                N, N, self.num_heads).transpose(2, 0, 1)
+
         if x.ndim == 5:
             # fused spatial path (attention_impl='pallas_fused'): windows
             # are sliced by the kernel's BlockSpecs straight out of the
@@ -343,9 +419,7 @@ class WindowAttention3D(nn.Module):
             from clover_tpu.ops.window_attention import spatial_window_attention
 
             B5, Dp, Hp, Wp, C5 = x.shape
-            rp_index = relative_position_index(self.full_window, eff_window)
-            bias = bias_table[rp_index.reshape(-1)].reshape(
-                N, N, self.num_heads).transpose(2, 0, 1)
+            bias = make_bias()
             qkv5 = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                          name="qkv")(x)
             qkv5 = qkv5.reshape(B5, Dp, Hp, Wp, 3, self.num_heads, head_dim)
@@ -368,9 +442,7 @@ class WindowAttention3D(nn.Module):
         qkv_flat = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                          name="qkv")(x.reshape(-1, C)).reshape(Bn, N, 3 * C)
 
-        rp_index = relative_position_index(self.full_window, eff_window)
-        bias = bias_table[rp_index.reshape(-1)].reshape(N, N, self.num_heads)
-        bias = bias.transpose(2, 0, 1)                    # (nH, N, N) fp32
+        bias = make_bias()                                # (nH, N, N) fp32
 
         if self.attention_impl == "pallas_flat" and self.attn_drop == 0.0:
             # fused kernel on the UN-relayouted qkv: head slicing happens in
@@ -517,9 +589,10 @@ class SwinBlock3D(nn.Module):
         return "xla_headloop"
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 bias_cache: Optional[jax.Array] = None) -> jax.Array:
         if self.resident_dims is not None:
-            return self._window_resident_call(x, deterministic)
+            return self._window_resident_call(x, deterministic, bias_cache)
         impl = self._resolve_impl(deterministic)
         x = constrain_activation(x, self.act_sharding)
         B, D, H, W, C = x.shape
@@ -560,11 +633,13 @@ class SwinBlock3D(nn.Module):
             if attn_mask is not None:
                 mask_grid = attn_mask.reshape(
                     Dp // window[0], Hp // window[1], Wp // window[2], N, N)
-            x = attn_module(x, window, mask_grid, deterministic=deterministic)
+            x = attn_module(x, window, mask_grid, deterministic=deterministic,
+                            bias_override=bias_cache)
         else:
             x_windows = window_partition(x, window)
             attn_out = attn_module(
-                x_windows, window, attn_mask, deterministic=deterministic)
+                x_windows, window, attn_mask, deterministic=deterministic,
+                bias_override=bias_cache)
             x = window_reverse(attn_out, window, B, Dp, Hp, Wp)
 
         if do_shift:
@@ -576,8 +651,9 @@ class SwinBlock3D(nn.Module):
             x, deterministic=deterministic)
         return self._mlp_half(x, deterministic)
 
-    def _window_resident_call(self, x: jax.Array,
-                              deterministic: bool) -> jax.Array:
+    def _window_resident_call(self, x: jax.Array, deterministic: bool,
+                              bias_cache: Optional[jax.Array] = None
+                              ) -> jax.Array:
         """x: (B, nW*N, C) tokens in unshifted window-major order.
 
         Same parameter structure as the spatial path (norm1/attn/
@@ -613,7 +689,8 @@ class SwinBlock3D(nn.Module):
                 mask_b = jax.random.bernoulli(rng, p=keep, shape=(B,))
                 per_sample = mask_b.astype(jnp.float32) / keep
                 row_scale = jnp.repeat(per_sample, L // N)  # (Bn,)
-            x = self._fused_resident_half(x, window, attn_mask, N, row_scale)
+            x = self._fused_resident_half(x, window, attn_mask, N, row_scale,
+                                          bias_cache)
             x = self._mlp_half(x, deterministic)
             if do_shift:
                 x = _apply_window_perm(x, dims, window, shift, inverse=True)
@@ -628,7 +705,8 @@ class SwinBlock3D(nn.Module):
             attention_impl=impl, dtype=self.dtype, name="attn",
         )
         attn_out = attn_module(xn.reshape(-1, N, C), window, attn_mask,
-                               deterministic=deterministic)
+                               deterministic=deterministic,
+                               bias_override=bias_cache)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             attn_out.reshape(B, L, C), deterministic=deterministic)
         x = self._mlp_half(x, deterministic)
@@ -676,7 +754,8 @@ class SwinBlock3D(nn.Module):
             h, deterministic=deterministic)
 
     def _fused_resident_half(self, x: jax.Array, window, attn_mask,
-                             N: int, row_scale=None) -> jax.Array:
+                             N: int, row_scale=None,
+                             bias_cache=None) -> jax.Array:
         """Window-resident fused half-block: x (B, L, C) already window-major
         (and already permuted for shifted blocks); runs the whole
         LN1+attn+proj+residual in one Pallas kernel. Params declared at the
@@ -690,9 +769,12 @@ class SwinBlock3D(nn.Module):
         k_qkv, b_qkv, k_proj, b_proj, bias_table = _WindowAttentionParams(
             self.dim, self.num_heads, tuple(self.window_size), self.qkv_bias,
             name="attn")()
-        rp_index = relative_position_index(self.window_size, tuple(window))
-        bias = bias_table[rp_index.reshape(-1)].reshape(
-            N, N, self.num_heads).transpose(2, 0, 1)
+        if bias_cache is not None:
+            bias = bias_cache
+        else:
+            rp_index = relative_position_index(self.window_size, tuple(window))
+            bias = bias_table[rp_index.reshape(-1)].reshape(
+                N, N, self.num_heads).transpose(2, 0, 1)
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
         qkv_bias_val = (b_qkv if self.qkv_bias
@@ -859,6 +941,7 @@ class SwinTransformer3D(nn.Module):
         *,
         deterministic: bool = True,
         mode: str = "full",
+        bias_cache=None,
     ):
         cfg = self.config
         if mode in ("full", "embed"):
@@ -916,6 +999,8 @@ class SwinTransformer3D(nn.Module):
                 N_ = int(np.prod(stage_window))
                 x = window_partition(x, stage_window).reshape(B_, -1, x.shape[-1])
             for i_blk in range(cfg.depths[i_stage]):
+                blk_bias = (bias_cache.get(f"stage_{i_stage}_block_{i_blk}")
+                            if bias_cache is not None else None)
                 x = block_cls(
                     dim=dim,
                     num_heads=cfg.num_heads[i_stage],
@@ -934,7 +1019,7 @@ class SwinTransformer3D(nn.Module):
                     resident_dims=dims if resident else None,
                     dtype=self.dtype,
                     name=f"stage_{i_stage}_block_{i_blk}",
-                )(x, deterministic)
+                )(x, deterministic, blk_bias)
                 block_idx += 1
             if resident:
                 x = window_reverse(x.reshape(-1, N_, x.shape[-1]),

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clover_tpu.ops.window_attention import _vmem_softmax
+from clover_tpu.ops.window_attention import _softmax_pv
 
 
 def _is_tpu() -> bool:
@@ -74,11 +74,8 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
-        probs = _vmem_softmax(logits, x_ref.dtype)
-        o = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        attn_ref[:, :, h * hd:(h + 1) * hd] = o.astype(attn_ref.dtype)
+        attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
+            logits, v, attn_ref.dtype)
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bp_ref[0]
@@ -194,11 +191,8 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
-        probs = _vmem_softmax(logits, x_ref.dtype)
-        o = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        attn_ref[:, :, h * hd:(h + 1) * hd] = o.astype(attn_ref.dtype)
+        attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
+            logits, v, attn_ref.dtype)
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[0], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (W, N, C) partial

@@ -84,10 +84,13 @@ def _process_clip(clip, box, flip, out_size, mean, std, method):
         clip, (T, out_size, out_size, 3), (1, 2), scale, translation,
         method=method, antialias=False)
     flipped = jnp.where(flip, resized[:, :, ::-1, :], resized)
+    if mean is None:
+        return flipped
     return (flipped - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "method", "dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_size", "method", "dtype", "normalize"))
 def preprocess_clips(
     frames_u8: jax.Array,          # (B, T, S, S, 3) uint8
     boxes: jax.Array,              # (B, 4) float32 (y0, x0, h, w) pixels
@@ -95,10 +98,16 @@ def preprocess_clips(
     out_size: int = 224,
     method: str = "linear",
     dtype: Any = jnp.bfloat16,
+    normalize: bool = True,
 ) -> jax.Array:
-    """One fused device op: crop-resize + flip + normalize + cast."""
-    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    """One fused device op: crop-resize + flip + normalize + cast.
+
+    ``normalize=False`` emits pixel-scale values for models that fold the
+    mean/std affine into the patch-embed projection
+    (SwinConfig.fold_normalize) — exact same math, one less full-frame
+    HBM pass."""
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) if normalize else None
+    std = jnp.asarray(IMAGENET_STD, jnp.float32) if normalize else None
     clips = frames_u8.astype(jnp.float32)
     out = jax.vmap(
         lambda c, b, f: _process_clip(c, b, f, out_size, mean, std, method)
@@ -106,15 +115,20 @@ def preprocess_clips(
     return out.astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def _normalize_only(frames_u8: jax.Array, dtype: Any) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("dtype", "normalize"))
+def _normalize_only(frames_u8: jax.Array, dtype: Any,
+                    normalize: bool = True) -> jax.Array:
+    if not normalize:
+        # uint8 pixel values (0..255) are exactly representable in bf16
+        return frames_u8.astype(dtype)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     return ((frames_u8.astype(jnp.float32) - mean) / std).astype(dtype)
 
 
 def eval_preprocess(frames_u8: jax.Array, out_size: int = 224,
-                    dtype: Any = jnp.bfloat16) -> jax.Array:
+                    dtype: Any = jnp.bfloat16,
+                    normalize: bool = True) -> jax.Array:
     """Center-crop eval path: canonical square in, normalized out.
 
     When the canonical size already equals out_size the crop is the
@@ -123,11 +137,12 @@ def eval_preprocess(frames_u8: jax.Array, out_size: int = 224,
     B = frames_u8.shape[0]
     S = frames_u8.shape[2]
     if S == out_size:
-        return _normalize_only(frames_u8, dtype)
+        return _normalize_only(frames_u8, dtype, normalize)
     boxes = jnp.broadcast_to(
         jnp.asarray(center_crop_params(S, min(S, out_size))), (B, 4))
     flips = jnp.zeros((B,), dtype=bool)
-    return preprocess_clips(frames_u8, boxes, flips, out_size=out_size, dtype=dtype)
+    return preprocess_clips(frames_u8, boxes, flips, out_size=out_size,
+                            dtype=dtype, normalize=normalize)
 
 
 def three_crop_preprocess(frames_u8: jax.Array, out_size: int = 224,

@@ -484,6 +484,43 @@ def _vmem_softmax(logits, out_dtype):
     return (e * r).astype(out_dtype)
 
 
+# Fused-sum softmax·V: the kernels' VPU bottleneck is the per-logit softmax
+# passes over the (W, N, N) block (the 32-frame profile put the attention
+# kernels at ~17-31% MXU — VPU-bound). The row normalizer can ride the PV
+# matmul for free: append a ones column to v so o[:, :, hd] accumulates
+# sum(e) inside the SAME dot (hd=32 output lanes pad to 128 anyway — the
+# extra column costs zero MXU time), then normalize the (N, hd) output
+# instead of the (N, N) probs. Cuts the N^2 VPU passes from
+# max/exp/sum/normalize (~4 reads + 2 writes) to max/exp (~2 reads + 1
+# write). Numerics: e is cast to the compute dtype before the dot exactly
+# like the normalized probs were, and the division happens in fp32 on the
+# fp32 dot accumulator — same rounding count as the normalize-first order
+# (parity-tested vs the XLA reference).
+_FUSED_SUM = _os.environ.get("CLOVER_WA_FUSED_SUM", "1") != "0"
+
+
+def _softmax_pv(logits, v, out_dtype):
+    """(softmax(logits, -1) · v) for logits (W, N, N) f32, v (W, N, hd)
+    compute-dtype. Returns (W, N, hd) in out_dtype."""
+    hd = v.shape[-1]
+    if not _FUSED_SUM or hd % 128 == 0:
+        # full lane tiles: the ones column would add a whole extra tile
+        probs = _vmem_softmax(logits, v.dtype)
+        o = jax.lax.dot_general(
+            probs, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return o.astype(out_dtype)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m).astype(v.dtype)
+    v1 = jnp.concatenate(
+        [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
+    o = jax.lax.dot_general(
+        e, v1, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (W, N, hd+1) f32
+    return (o[:, :, :hd]
+            * jax.lax.reciprocal(o[:, :, hd:])).astype(out_dtype)
+
+
 def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
     C = nH * hd
     sc = qkv_ref.dtype.type(scale)
@@ -498,11 +535,8 @@ def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # (W, N, N) f32 acc
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        probs = _vmem_softmax(logits, qkv_ref.dtype)
-        out = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
@@ -518,11 +552,8 @@ def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        probs = _vmem_softmax(logits, qkv_ref.dtype)
-        out = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
@@ -540,11 +571,8 @@ def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        probs = _vmem_softmax(logits, q_ref.dtype)
-        out = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
@@ -559,11 +587,8 @@ def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        probs = _vmem_softmax(logits, q_ref.dtype)
-        out = jax.lax.dot_general(
-            probs, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _pad_to(n: int, to: int) -> int:

@@ -249,3 +249,26 @@ def test_window_resident_fallback_on_padding(rng):
     np.testing.assert_allclose(
         np.asarray(m1.apply({"params": params}, x)),
         np.asarray(m0.apply({"params": params}, x)), atol=1e-6)
+
+
+def test_bias_cache_matches_gather(tiny_cfg, rng):
+    """forward with swin_bias_cache(params) == forward with per-step
+    gathers (the cache is an exact apply-time constant, swin3d.py)."""
+    from clover_tpu.models.swin3d import bias_cache_builder, swin_bias_cache
+
+    model = SwinTransformer3D(tiny_cfg)
+    x = jnp.asarray(rng.normal(size=(2, 4, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    cache = swin_bias_cache(params, tiny_cfg, (4, 16, 16))
+    assert set(cache) == {f"stage_{i}_block_{j}"
+                          for i in range(2) for j in range(2)}
+    ref = model.apply({"params": params}, x)
+    out = model.apply({"params": params}, x, bias_cache=cache)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # builder form (eval loops): full param tree + lazy shape
+    build = bias_cache_builder(tiny_cfg)
+    cache2 = build({"backbone": params}, (4, 16, 16))
+    out2 = model.apply({"params": params}, x, bias_cache=cache2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

@@ -101,6 +101,10 @@ def main():
     is_retrieval = (cfg.model["type"] == "CloverPretrain"
                     or cfg.model.get("task") == "retrieval")
 
+    from clover_tpu.models.swin3d import bias_cache_builder
+
+    swin_cache_fn = bias_cache_builder(model.config.swin)
+
     def run_eval(params):
         if is_retrieval and cfg.model.get("eval_mode") == "mc_retrieval":
             from clover_tpu.engine.eval_loop import run_mc_retrieval_eval
@@ -108,7 +112,8 @@ def main():
             eval_step = make_embed_eval_step(model)
             return run_mc_retrieval_eval(eval_step, params, test_ds,
                                          loader.epoch(0), out_size=img_size,
-                                         dtype=model.dtype)
+                                         dtype=model.dtype,
+                                         bias_cache=swin_cache_fn)
         if is_retrieval and cfg.model.get("eval_mode") == "itm_retrieval":
             # full-fusion itm reranking (reference forward_test non-separate
             # branch + recall_for_itm_t2v_retrieval)
@@ -121,15 +126,18 @@ def main():
             return run_itm_retrieval_eval(
                 make_itm_embed_step(model), make_itm_score_step(model),
                 params, test_ds, loader.epoch(0), out_size=img_size,
-                dtype=model.dtype, top_k=cfg.model.get("itm_top_k"))
+                dtype=model.dtype, top_k=cfg.model.get("itm_top_k"),
+                bias_cache=swin_cache_fn)
         if is_retrieval:
             eval_step = make_embed_eval_step(model)
             return run_retrieval_eval(eval_step, params, test_ds,
                                       loader.epoch(0), out_size=img_size,
-                                      dtype=model.dtype)
+                                      dtype=model.dtype,
+                                      bias_cache=swin_cache_fn)
         eval_step = make_qa_eval_step(model)
         return run_qa_eval(eval_step, params, test_ds, loader.epoch(0),
-                           out_size=img_size, dtype=model.dtype)
+                           out_size=img_size, dtype=model.dtype,
+                           bias_cache=swin_cache_fn)
 
     if args.ckpt_dir and args.all_steps:
         # checkpoint-directory sweep (reference tools/test.py:169-224)

@@ -293,20 +293,28 @@ def main():
         # deterministic (centered sampling, no shuffle), so every eval
         # sees the identical clip set — comparable across epochs. Any
         # val-time random sampling would need a per-eval epoch here.
+        # precomputed relative-position biases (eval-time constants): the
+        # builder re-materializes per eval call since params change between
+        # evals; removes the per-batch table gathers (swin3d.swin_bias_cache)
+        from clover_tpu.models.swin3d import bias_cache_builder
+
+        swin_cache = bias_cache_builder(model.config.swin)
         if is_pretrain or task == "retrieval":
             eval_step = make_embed_eval_step(model)
 
             def eval_fn(params):
                 return run_retrieval_eval(
                     eval_step, params, val_ds, val_loader.epoch(0),
-                    out_size=img_size, dtype=compute_dtype)
+                    out_size=img_size, dtype=compute_dtype,
+                    bias_cache=swin_cache)
         else:
             eval_step = make_qa_eval_step(model)
 
             def eval_fn(params):
                 return run_qa_eval(
                     eval_step, params, val_ds, val_loader.epoch(0),
-                    out_size=img_size, dtype=compute_dtype)
+                    out_size=img_size, dtype=compute_dtype,
+                    bias_cache=swin_cache)
 
     ckpt_mgr = CheckpointManager(
         os.path.join(work_dir, "checkpoints"),
