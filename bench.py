@@ -147,11 +147,16 @@ def main():
     ATTN = os.environ.get("BENCH_ATTN", "auto")
     S = 224
 
+    fold_norm = os.environ.get("BENCH_FOLD_NORM", "1") == "1"
     cfg = FinetuneConfig(
         swin=SwinConfig.base(
             attention_impl=ATTN,
-            embed_impl=os.environ.get("BENCH_EMBED", "conv"),
+            # host_s2d: loader-side space-to-depth (data.loader
+            # make_s2d_collate) + normalize folded into the embed GEMM —
+            # measured +4.7% at 32-frame over conv+fold (BASELINE.md)
+            embed_impl=os.environ.get("BENCH_EMBED", "host_s2d"),
             fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla",
+            fold_normalize=fold_norm,
             window_resident=os.environ.get("BENCH_WIN_RESIDENT", "1") == "1"),
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
@@ -173,12 +178,30 @@ def main():
         rng.integers(0, 30522, size=(ITERS, B, 30)), jnp.int32)
     input_mask = jnp.ones((B, 30), jnp.int32)
 
+    if cfg.swin.embed_impl == "host_s2d":
+        # loader-side space-to-depth (preprocess.space_to_depth_host): the
+        # device sees (B, T/2, 56, 56, 96) u8 and the embed is one GEMM
+        from clover_tpu.ops.preprocess import space_to_depth_host
+
+        frames_all = jnp.asarray(space_to_depth_host(np.asarray(frames_all)))
+
     def one_batch(params, frames_u8, token_ids, bias_cache):
-        imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.bfloat16)
+        if cfg.swin.embed_impl == "host_s2d":
+            imgs = frames_u8          # cast happens inside the backbone
+        else:
+            # fold_normalize: the mean/std affine rides inside the
+            # patch-embed projection; preprocessing is a pure u8->bf16 cast
+            imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.bfloat16,
+                                   normalize=not fold_norm)
         return model.apply(params, imgs[:, None], token_ids, input_mask,
                            bias_cache, method="forward_test")
 
-    init_imgs = eval_preprocess(frames_all[0], out_size=S, dtype=jnp.bfloat16)
+    if cfg.swin.embed_impl == "host_s2d":
+        init_imgs = frames_all[0]
+    else:
+        init_imgs = eval_preprocess(frames_all[0], out_size=S,
+                                    dtype=jnp.bfloat16,
+                                    normalize=not fold_norm)
     # NOTE: everything large must be an ARGUMENT of the jitted fns —
     # closed-over arrays become HLO constants and blow up the remote-compile
     # request on this image (HTTP 413).

@@ -144,6 +144,7 @@ def build_loader(dataset, loader_cfg: Dict[str, Any], test: bool = False,
         seed=seed,
         prefetch=cfg.get("prefetch", 2),
         worker_type=cfg.get("worker_type", "thread"),
+        host_s2d=cfg.get("host_s2d"),
     )
 
 

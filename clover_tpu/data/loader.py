@@ -108,6 +108,26 @@ def default_collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.nd
     return out
 
 
+def make_s2d_collate(patch=(2, 4, 4), inner=default_collate):
+    """Collate wrapper emitting space-to-depth'd frames for the
+    embed_impl='host_s2d' patch embed (DataLoader(host_s2d=...)).
+
+    The loader-side transpose replaces the device's u8 relayout + conv
+    lowering (~8 ms/iter at 32-frame eval). Requires frames already at the
+    final crop size (the frame-cache / canonical eval contract — the
+    device-side crop path cannot run after s2d). Consumers detect the
+    layout by ``imgs.shape[-1] != 3``."""
+    from clover_tpu.ops.preprocess import space_to_depth_host
+
+    def collate(samples):
+        out = inner(samples)
+        if "imgs" in out:
+            out["imgs"] = space_to_depth_host(out["imgs"], patch)
+        return out
+
+    return collate
+
+
 class DataLoader:
     """Iterates collated batches with worker-thread prefetch."""
 
@@ -124,11 +144,14 @@ class DataLoader:
         prefetch: int = 2,
         collate_fn=default_collate,
         worker_type: str = "thread",     # 'thread' | 'process'
+        host_s2d=None,                   # patch tuple -> s2d 'imgs' collate
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        if host_s2d:
+            collate_fn = make_s2d_collate(tuple(host_s2d), collate_fn)
         self.collate_fn = collate_fn
         self.worker_type = worker_type
         self._pool = None

@@ -83,6 +83,28 @@ from clover_tpu.evaluation.metrics import (
 from clover_tpu.ops.preprocess import eval_preprocess
 
 
+
+def _prep_batch(batch, params, bias_cache, out_size, dtype):
+    """Shared per-batch prep: materialize a lazy bias cache and preprocess
+    frames. host_s2d batches (loader make_s2d_collate; detected by
+    imgs.shape[-1] != 3) pass through raw — normalization folds into the
+    patch embed (SwinConfig.fold_normalize) and the cast happens in the
+    model. Returns (imgs, bias_cache)."""
+    raw = batch["imgs"]
+    s2d = raw.shape[-1] != 3
+    if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
+        if s2d:
+            bias_cache = bias_cache(params, tuple(raw.shape[2:5]), s2d=True)
+        else:
+            bias_cache = bias_cache(params, (raw.shape[2], out_size, out_size))
+    if s2d:
+        return jnp.asarray(raw), bias_cache
+    imgs = eval_preprocess(
+        jnp.asarray(raw.reshape((-1,) + raw.shape[2:])),
+        out_size=out_size, dtype=dtype)
+    return imgs.reshape((-1, raw.shape[1]) + imgs.shape[1:]), bias_cache
+
+
 def _dedup_sort(indices: np.ndarray, *arrays):
     """Drop sampler-padding duplicates, return arrays sorted by index."""
     _, first = np.unique(indices, return_index=True)
@@ -110,14 +132,8 @@ def run_retrieval_eval(
     idx_list: List[np.ndarray] = []
     vid_list: List[np.ndarray] = []
     for batch in loader_iter:
-        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
-            bias_cache = bias_cache(
-                params, (batch["imgs"].shape[2], out_size, out_size))
-        imgs = eval_preprocess(
-            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
-            out_size=out_size, dtype=dtype)
-        n_clips = batch["imgs"].shape[1]
-        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        imgs, bias_cache = _prep_batch(batch, params, bias_cache,
+                                       out_size, dtype)
         v, t = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
                          jnp.asarray(batch["input_mask"]), bias_cache)
         v_list.append(np.asarray(v, np.float32))
@@ -175,14 +191,8 @@ def run_itm_retrieval_eval(
     tok_list, v_list, t_list = [], [], []
     ids_list, mask_list, idx_list, vid_list = [], [], [], []
     for batch in loader_iter:
-        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
-            bias_cache = bias_cache(
-                params, (batch["imgs"].shape[2], out_size, out_size))
-        imgs = eval_preprocess(
-            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
-            out_size=out_size, dtype=dtype)
-        n_clips = batch["imgs"].shape[1]
-        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        imgs, bias_cache = _prep_batch(batch, params, bias_cache,
+                                       out_size, dtype)
         tokens, v, t = embed_step(
             params, imgs, jnp.asarray(batch["token_ids"]),
             jnp.asarray(batch["input_mask"]), bias_cache)
@@ -256,14 +266,8 @@ def run_mc_retrieval_eval(
 
     v_list, t_list, idx_list, vid_list = [], [], [], []
     for batch in loader_iter:
-        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
-            bias_cache = bias_cache(
-                params, (batch["imgs"].shape[2], out_size, out_size))
-        imgs = eval_preprocess(
-            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
-            out_size=out_size, dtype=dtype)
-        n_clips = batch["imgs"].shape[1]
-        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        imgs, bias_cache = _prep_batch(batch, params, bias_cache,
+                                       out_size, dtype)
         v, t = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
                          jnp.asarray(batch["input_mask"]), bias_cache)
         v_list.append(np.asarray(v, np.float32))
@@ -298,14 +302,8 @@ def run_zeroshot_action_eval(
 
     v_list, lbl_list, idx_list = [], [], []
     for batch in loader_iter:
-        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
-            bias_cache = bias_cache(
-                params, (batch["imgs"].shape[2], out_size, out_size))
-        imgs = eval_preprocess(
-            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
-            out_size=out_size, dtype=dtype)
-        n_clips = batch["imgs"].shape[1]
-        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        imgs, bias_cache = _prep_batch(batch, params, bias_cache,
+                                       out_size, dtype)
         v, _ = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
                          jnp.asarray(batch["input_mask"]), bias_cache)
         v_list.append(np.asarray(v, np.float32))
@@ -333,14 +331,8 @@ def run_qa_eval(
     labels: List[np.ndarray] = []
     idx_list: List[np.ndarray] = []
     for batch in loader_iter:
-        if callable(bias_cache):   # lazy builder (swin3d.bias_cache_builder)
-            bias_cache = bias_cache(
-                params, (batch["imgs"].shape[2], out_size, out_size))
-        imgs = eval_preprocess(
-            jnp.asarray(batch["imgs"].reshape((-1,) + batch["imgs"].shape[2:])),
-            out_size=out_size, dtype=dtype)
-        n_clips = batch["imgs"].shape[1]
-        imgs = imgs.reshape((-1, n_clips) + imgs.shape[1:])
+        imgs, bias_cache = _prep_batch(batch, params, bias_cache,
+                                       out_size, dtype)
         s = eval_step(params, imgs, jnp.asarray(batch["token_ids"]),
                       jnp.asarray(batch["input_mask"]), bias_cache)
         scores.append(np.asarray(s, np.float32))

@@ -205,7 +205,8 @@ def embed_dims(cfg: SwinConfig, in_shape: Tuple3) -> Tuple3:
     return tuple(-(-s // p) for s, p in zip(in_shape, cfg.patch_size))
 
 
-def swin_bias_cache(params, cfg: SwinConfig, in_shape: Tuple3):
+def swin_bias_cache(params, cfg: SwinConfig, in_shape: Optional[Tuple3] = None,
+                    token_dims: Optional[Tuple3] = None):
     """Precompute every block's (nH, N, N) relative-position bias.
 
     The per-block ``bias_table[rp_index]`` gather is a pure function of the
@@ -221,10 +222,12 @@ def swin_bias_cache(params, cfg: SwinConfig, in_shape: Tuple3):
 
     params:   the backbone's param subtree (contains stage_i_block_j/attn/
               relative_position_bias_table)
-    in_shape: (T, H, W) of the video fed to the backbone
+    in_shape: (T, H, W) of the video fed to the backbone; pass
+              token_dims=(D', H', W') instead when the post-embed token
+              dims are known directly (host_s2d batches).
     Returns {block_name: (nH, N, N) float32}, suitable for jit.
     """
-    dims = embed_dims(cfg, in_shape)
+    dims = token_dims if token_dims is not None else embed_dims(cfg, in_shape)
     cache = {}
     for i_stage in range(len(cfg.depths)):
         window, _ = effective_window(dims, cfg.window_size, (0, 0, 0))
@@ -250,9 +253,10 @@ def bias_cache_builder(cfg: SwinConfig):
     this callable via their ``bias_cache`` argument and materialize it at
     the first batch, when the frame count is known."""
 
-    def build(params, in_shape: Tuple3):
+    def build(params, in_shape: Tuple3, s2d: bool = False):
         sub = params.get("backbone", params) if hasattr(params, "get") else params
-        return jax.jit(lambda p: swin_bias_cache(p, cfg, in_shape))(sub)
+        kw = {"token_dims": in_shape} if s2d else {"in_shape": in_shape}
+        return jax.jit(lambda p: swin_bias_cache(p, cfg, **kw))(sub)
 
     return build
 
@@ -871,21 +875,67 @@ class PatchEmbed3D(nn.Module):
     config: SwinConfig
     dtype: Dtype = jnp.float32
 
+    def _fold_norm(self, kern_flat: jax.Array, bias: jax.Array, c_in: int):
+        """Fold the per-channel (x - mean)/std input normalization into the
+        projection (cfg.fold_normalize): the projection is linear in the
+        input, so W' = W / std_c and b' = b - sum(W * mean_c / std_c) make
+        proj(pixels) == proj_orig(normalized) exactly. Runs on the fp32
+        params (a (96, E)-sized transform — negligible under jit)."""
+        from clover_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        k = kern_flat.reshape(-1, c_in, kern_flat.shape[-1])
+        k = k / std[None, :, None]
+        b = bias - (k * mean[None, :, None]).sum(axis=(0, 1))
+        return k.reshape(kern_flat.shape), b
+
     @nn.compact
     def __call__(self, x: jax.Array, fwd_only: bool = False) -> jax.Array:
         cfg = self.config
         pd, ph, pw = cfg.patch_size
-        B, D, H, W, C = x.shape
-        pad = ((-D) % pd, (-H) % ph, (-W) % pw)
-        if any(pad):
-            x = jnp.pad(x, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)))
-            D, H, W = D + pad[0], H + pad[1], W + pad[2]
+        if cfg.fold_normalize and cfg.patch_size != cfg.stride:
+            raise ValueError("fold_normalize requires kernel == stride")
+        if cfg.embed_impl != "host_s2d":
+            B, D, H, W, C = x.shape
+            pad = ((-D) % pd, (-H) % ph, (-W) % pw)
+            if any(pad):
+                x = jnp.pad(x, ((0, 0), (0, pad[0]), (0, pad[1]),
+                                (0, pad[2]), (0, 0)))
+                D, H, W = D + pad[0], H + pad[1], W + pad[2]
 
-        if cfg.patch_size == cfg.stride and cfg.embed_impl == "s2d":
+        if cfg.embed_impl == "host_s2d":
+            # input arrives ALREADY space-to-depth'd from the host loader
+            # (data.loader host_s2d / preprocess.space_to_depth_host):
+            # (B, D', H', W', pd*ph*pw*C). The embed is then one row-major
+            # GEMM — no u8 relayout copy, no conv lowering, no device
+            # transpose (the 32-frame profile showed ~8 ms/iter in that
+            # chain). Input must be pixel-scale with fold_normalize, or
+            # pre-normalized floats.
+            from clover_tpu.models.layers import DenseParams
+
+            K = pd * ph * pw * cfg.in_chans
+            if x.shape[-1] != K:
+                raise ValueError(
+                    f"host_s2d expects s2d input with {K} features, got "
+                    f"{x.shape[-1]} — use space_to_depth_host on the loader")
+            kern_flat, bias = DenseParams(K, cfg.embed_dim, name="proj")()
+            if cfg.fold_normalize:
+                kern_flat, bias = self._fold_norm(kern_flat, bias, cfg.in_chans)
+            x = (jnp.dot(x.astype(self.dtype), kern_flat.astype(self.dtype))
+                 + bias.astype(self.dtype))
+        elif cfg.patch_size == cfg.stride and cfg.embed_impl == "s2d":
+            from clover_tpu.models.layers import DenseParams
+
+            kern_flat, bias = DenseParams(
+                pd * ph * pw * C, cfg.embed_dim, name="proj")()
+            if cfg.fold_normalize:
+                kern_flat, bias = self._fold_norm(kern_flat, bias, C)
             x = x.reshape(B, D // pd, pd, H // ph, ph, W // pw, pw, C)
             x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
             x = x.reshape(B, D // pd, H // ph, W // pw, pd * ph * pw * C)
-            x = dense(cfg.embed_dim, dtype=self.dtype, name="proj")(x)
+            x = (jnp.dot(x.astype(self.dtype), kern_flat.astype(self.dtype))
+                 + bias.astype(self.dtype))
         elif cfg.patch_size == cfg.stride:
             # conv lowering of the same projection (embed_impl='conv'):
             # identical Dense param layout — the (pd*ph*pw*C, E) kernel is
@@ -894,6 +944,8 @@ class PatchEmbed3D(nn.Module):
 
             kern_flat, bias = DenseParams(
                 pd * ph * pw * C, cfg.embed_dim, name="proj")()
+            if cfg.fold_normalize:
+                kern_flat, bias = self._fold_norm(kern_flat, bias, C)
             kern = kern_flat.reshape(pd, ph, pw, C, cfg.embed_dim)
             x = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kern.astype(self.dtype),

@@ -287,3 +287,29 @@ def test_process_pool_loader_matches_thread_loader():
                 np.testing.assert_array_equal(tb[k], pb[k])
     finally:
         p_loader.close()
+
+
+def test_s2d_collate_layout_and_roundtrip():
+    """make_s2d_collate emits the embed_impl='host_s2d' layout: features
+    ordered (dt, dy, dx, c), detectable by shape[-1] != 3, and exactly the
+    space-to-depth of the stacked frames."""
+    from clover_tpu.data.loader import default_collate, make_s2d_collate
+    from clover_tpu.ops.preprocess import space_to_depth_host
+
+    rng = np.random.default_rng(0)
+    samples = [
+        {"imgs": rng.integers(0, 256, (1, 4, 8, 8, 3), dtype=np.uint8),
+         "index": np.int32(i)}
+        for i in range(3)
+    ]
+    collate = make_s2d_collate(patch=(2, 4, 4))
+    batch = collate(samples)
+    assert batch["imgs"].shape == (3, 1, 2, 2, 2, 96)
+    stacked = default_collate(samples)["imgs"]
+    np.testing.assert_array_equal(batch["imgs"],
+                                  space_to_depth_host(stacked, (2, 4, 4)))
+    np.testing.assert_array_equal(batch["index"], np.arange(3))
+    # manual order check on one patch: feature k = ((dt*ph + dy)*pw + dx)*3 + c
+    v = batch["imgs"][0, 0, 0, 0, 0]
+    assert v[5] == stacked[0, 0, 0, 0, 1, 2]     # dt=0, dy=0, dx=1, c=2
+    assert v[48] == stacked[0, 0, 1, 0, 0, 0]    # dt=1, dy=0, dx=0, c=0

@@ -4,6 +4,8 @@ Golden values come from independent loop-based numpy implementations, not
 from the vectorized code under test.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -272,3 +274,49 @@ def test_bias_cache_matches_gather(tiny_cfg, rng):
     out2 = model.apply({"params": params}, x, bias_cache=cache2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fold_normalize_matches_normalized_input(rng):
+    """PatchEmbed with fold_normalize on pixel-scale input == the default
+    embed on (x-mean)/std input, for both embed lowerings (exact folding
+    of the per-channel affine into the projection)."""
+    from clover_tpu.models.swin3d import PatchEmbed3D
+    from clover_tpu.ops.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    pixels = rng.integers(0, 256, size=(2, 4, 16, 16, 3)).astype(np.float32)
+    normed = (pixels - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+        IMAGENET_STD, np.float32)
+    for impl in ("conv", "s2d"):
+        cfg = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                         depths=(2,), num_heads=(2,), patch_norm=False,
+                         embed_impl=impl)
+        cfg_fold = dataclasses.replace(cfg, fold_normalize=True)
+        m = PatchEmbed3D(cfg)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(normed))["params"]
+        ref = m.apply({"params": params}, jnp.asarray(normed))
+        out = PatchEmbed3D(cfg_fold).apply({"params": params},
+                                           jnp.asarray(pixels))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_host_s2d_embed_matches_conv(rng):
+    """space_to_depth_host + embed_impl='host_s2d' == the conv embed on the
+    same pixels (one GEMM, loader-side transpose; checkpoint-identical)."""
+    from clover_tpu.models.swin3d import PatchEmbed3D
+    from clover_tpu.ops.preprocess import space_to_depth_host
+
+    pixels = rng.integers(0, 256, size=(2, 4, 16, 16, 3)).astype(np.uint8)
+    base = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                      depths=(2,), num_heads=(2,), patch_norm=False,
+                      fold_normalize=True, embed_impl="conv")
+    m = PatchEmbed3D(base)
+    params = m.init(jax.random.PRNGKey(0),
+                    jnp.asarray(pixels.astype(np.float32)))["params"]
+    ref = m.apply({"params": params}, jnp.asarray(pixels.astype(np.float32)))
+    s2d = space_to_depth_host(pixels)
+    cfg2 = dataclasses.replace(base, embed_impl="host_s2d")
+    out = PatchEmbed3D(cfg2).apply({"params": params},
+                                   jnp.asarray(s2d.astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

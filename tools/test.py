@@ -65,22 +65,35 @@ def main():
     test_ds = build_dataset(test_cfg, tokenizer)
     if tokenizer is None:
         tokenizer = test_ds.tokenizer
-    loader = build_loader(
-        test_ds, cfg.data.get("test_loader",
-                              cfg.data.get("val_loader", {"batch_size": 8})),
-        test=True)
-
     model, _ = build_model(cfg.model)
     img_size = cfg.get("img_size", 224)
+
+    loader_cfg = dict(cfg.data.get("test_loader",
+                                   cfg.data.get("val_loader",
+                                                {"batch_size": 8})))
+    if model.config.swin.embed_impl == "host_s2d":
+        # loader delivers space-to-depth'd frames (make_s2d_collate);
+        # requires the dataset's canonical size == img_size (identity crop)
+        if not model.config.swin.fold_normalize:
+            raise SystemExit(
+                "embed_impl='host_s2d' delivers raw pixel frames; set "
+                "model.swin.fold_normalize=True so the mean/std affine "
+                "folds into the patch embed")
+        loader_cfg.setdefault("host_s2d", model.config.swin.patch_size)
+    loader = build_loader(test_ds, loader_cfg, test=True)
 
     sample = test_ds[0]
     import jax.numpy as jnp
     import numpy as np
 
-    from clover_tpu.ops.preprocess import eval_preprocess
+    from clover_tpu.ops.preprocess import eval_preprocess, space_to_depth_host
 
-    imgs = eval_preprocess(jnp.asarray(sample["imgs"]), out_size=img_size,
-                           dtype=model.dtype)
+    if model.config.swin.embed_impl == "host_s2d":
+        imgs = jnp.asarray(space_to_depth_host(
+            np.asarray(sample["imgs"]), model.config.swin.patch_size))
+    else:
+        imgs = eval_preprocess(jnp.asarray(sample["imgs"]), out_size=img_size,
+                               dtype=model.dtype)
     init_args = (imgs[None], jnp.asarray(sample["token_ids"])[None],
                  jnp.asarray(sample["input_mask"])[None])
     if cfg.model.get("eval_mode") == "itm_retrieval":
