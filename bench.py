@@ -47,19 +47,21 @@ def bench_train():
     ATTN = os.environ.get("BENCH_ATTN", "auto")
     S, L = 224, 30
 
-    # remat sweep with the fused attention bwd kernel (2026-08-17):
-    # full 40.4 / selective stages 0-1 43.9 / none 45.3 clips/s. Selective
-    # is the default recipe: the memory win where activations are largest,
-    # ~97% of no-remat throughput, and it still fits at production batch.
+    # remat sweep history: with the fused attention bwd kernel — full 40.4 /
+    # selective stages 0-1 43.9-48.2 / none 45.3; after the grouped bwd
+    # kernel (stage 3 fused instead of XLA fallback) recompute became a net
+    # loss: none 52.6 (B=8) / 53.3 (B=16, fits HBM) vs selective 49.4.
+    # No-remat is the default recipe; set BENCH_REMAT=0,1 / 1 for the
+    # memory-constrained variants.
     cfg = PretrainConfig(
         swin=SwinConfig.base(mask_token=True, attention_impl=ATTN,
                              window_resident=os.environ.get(
                                  "BENCH_WIN_RESIDENT", "1") == "1",
                              fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla",
                              use_checkpoint={"1": True, "0": False}.get(
-                                 os.environ.get("BENCH_REMAT", "0,1"),
+                                 os.environ.get("BENCH_REMAT", "0"),
                                  tuple(int(s) for s in os.environ.get(
-                                     "BENCH_REMAT", "0,1").split(",")))),
+                                     "BENCH_REMAT", "0").split(",")))),
         share_embed=os.environ.get("BENCH_SHARE_EMBED", "1") == "1",
         text_bert=BertConfig(),
         fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
@@ -103,10 +105,15 @@ def bench_train():
     # host transfer forces completion (block_until_ready is unreliable
     # through the axon relay — measured as a no-op)
     np.asarray(losses)
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:  # steady-state-only trace (tools/profile_bench.py)
+        jax.profiler.start_trace(trace_dir)
     t0 = time.time()
     state, losses = run_all(state, batches, key)
     losses = np.asarray(losses)
     dt = time.time() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
     assert np.all(np.isfinite(losses))
     print(json.dumps({
         "metric": "pretrain_train_clips_per_sec_per_chip",

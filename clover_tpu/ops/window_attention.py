@@ -1190,6 +1190,9 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
             logits = logits + mask_ref[:].astype(jnp.float32)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
+        # NOTE: the r-factored form (scale g rows by 1/sum(e) and keep e
+        # unnormalized) measured ~5% SLOWER than materializing p32 — the
+        # broadcast multiplies cost more than the saved pass
         p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
         p = p32.astype(qkv_ref.dtype)
         g_h = g_ref[:, :, h * hd:(h + 1) * hd]               # (W, Nq, hd)
@@ -1223,6 +1226,156 @@ def _attn_kernel_flat_bwd_masked(qkv_ref, bias_ref, g_ref, mask_ref,
     _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
                           scale=scale, nH=nH, hd=hd, n_i=n_i,
                           mask_ref=mask_ref)
+
+
+def _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                  dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                                  scale, G, hd, n_i, mask_ref=None):
+    """Head-GROUP-tiled flat attention backward: grid (nG, Bn//W), i fastest
+    so the group's dbias block stays VMEM-resident across the whole window
+    sweep. q/k/v/g and dq/dk/dv are lane-sliced BlockSpec views of the flat
+    arrays (no HBM relayout), exactly like the grouped forward. What lets
+    VMEM-busting shapes (Swin-B stage 3: nH=32, C=1024) run a fused
+    backward instead of the XLA per-head vjp whose pad+add scatter chains
+    dominated the train profile."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    sc = q_ref.dtype.type(scale)
+    for h in range(G):
+        qs = q_ref[:, :, h * hd:(h + 1) * hd] * sc           # (W, N, hd)
+        k = k_ref[:, :, h * hd:(h + 1) * hd]
+        v = v_ref[:, :, h * hd:(h + 1) * hd]
+        logits = jax.lax.dot_general(
+            qs, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[:].astype(jnp.float32)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        # p32 form — see the same note in _attn_kernel_flat_bwd
+        p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
+        p = p32.astype(q_ref.dtype)
+        g_h = g_ref[:, :, h * hd:(h + 1) * hd]               # (W, Nq, hd)
+        dv = jax.lax.dot_general(
+            p, g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nk, hd)
+        dp = jax.lax.dot_general(
+            g_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
+        dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        dlog_b = dlog.astype(q_ref.dtype)
+        dq = jax.lax.dot_general(
+            dlog_b, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            dlog_b, qs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, h * hd:(h + 1) * hd] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, h * hd:(h + 1) * hd] = dv.astype(dv_ref.dtype)
+        dbias_ref[h] += jnp.sum(dlog, axis=0)
+
+
+def _attn_kernel_flat_bwd_grouped_masked(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                         mask_ref, dq_ref, dk_ref, dv_ref,
+                                         dbias_ref, *, scale, G, hd, n_i):
+    _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                  dq_ref, dk_ref, dv_ref, dbias_ref,
+                                  scale=scale, G=G, hd=hd, n_i=n_i,
+                                  mask_ref=mask_ref)
+
+
+def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
+                          itemsize: int, nW):
+    """(W, G) for the grouped bwd kernel, or (0, 0)."""
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    groups = [g for g in (8, 4, 2, 1) if nH % g == 0 and g * hd <= 512]
+    groups.sort(key=lambda g: (abs(g * hd - 128), -g))
+    for G in groups:
+        gl = _pad_to(G * hd, 128)
+        for w in (16, 8, 4, 2, 1):
+            if Bn % w:
+                continue
+            if nW is not None and (w > nW or nW % w):
+                continue
+            need = (4 * 2 * w * Np_s * gl * itemsize        # q,k,v,g x2
+                    + 3 * 2 * w * Np_s * gl * itemsize      # dq,dk,dv x2
+                    + G * Np_s * Np_l * 4                   # dbias resident
+                    + 2 * G * Np_s * Np_l * itemsize        # bias x2
+                    + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                    + 3 * w * Np_s * Np_l * 4               # e/dp/dlog f32
+                    + (w * Np_s * Np_l * 4 if nW is not None else 0))
+            if need <= _FLAT_VMEM_BUDGET:
+                return w, G
+    return 0, 0
+
+
+def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g):
+    """Grouped-grid fused bwd: (dqkv, dbias) or None if infeasible."""
+    Bn, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    if not _GROUPED_ON or hd % 8:
+        return None
+    nW = None if mask is None else mask.shape[0]
+    W, G = _pick_group_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    if W == 0:
+        return None
+    nG = num_heads // G
+    gw = G * hd
+    dt = qkv.dtype
+    # lane-sliced views of the flat qkv (block column index units = gw)
+    q_spec = pl.BlockSpec((W, N, gw), lambda gi, i: (i, 0, gi),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((W, N, gw), lambda gi, i: (i, 0, nG + gi),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((W, N, gw), lambda gi, i: (i, 0, 2 * nG + gi),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((W, N, gw), lambda gi, i: (i, 0, gi),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((G, N, N), lambda gi, i: (gi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dbias_spec = pl.BlockSpec((G, N, N), lambda gi, i: (gi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((Bn, N, C), dt),    # dq
+                  jax.ShapeDtypeStruct((Bn, N, C), dt),    # dk
+                  jax.ShapeDtypeStruct((Bn, N, C), dt),    # dv
+                  jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32))
+    cost = pl.CostEstimate(
+        flops=5 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=4 * qkv.size * qkv.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, G=G, hd=hd, n_i=Bn // W)
+    if mask is None:
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_attn_kernel_flat_bwd_grouped, **kwargs),
+            grid=(nG, Bn // W),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, g_spec],
+            out_specs=(q_spec, q_spec, q_spec, dbias_spec),
+            out_shape=out_shapes,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv, qkv, bias.astype(dt), g)
+    else:
+        mask_spec = pl.BlockSpec((W, N, N), lambda gi, i: (i % (nW // W), 0, 0),
+                                 memory_space=pltpu.VMEM)
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_attn_kernel_flat_bwd_grouped_masked, **kwargs),
+            grid=(nG, Bn // W),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, g_spec, mask_spec],
+            out_specs=(q_spec, q_spec, q_spec, dbias_spec),
+            out_shape=out_shapes,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv, qkv, bias.astype(dt), g, mask.astype(dt))
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, dbias
 
 
 def _pick_window_block_bwd(Bn: int, nH: int, N: int, hd: int,
@@ -1259,7 +1412,11 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
         return None
     W = _pick_window_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
     if W == 0:
-        return None
+        # all-heads working set busts VMEM (Swin-B stage 3: nH=32, C=1024,
+        # and stages 2-3 at 32 frames): tile over head groups before
+        # falling back to the XLA vjp, whose per-head pad+add scatter
+        # chains dominated the r2 train profile (~5 ms/step at stage 3)
+        return _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g)
     dt = qkv.dtype
     qkv_spec = pl.BlockSpec((W, N, 3 * C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
