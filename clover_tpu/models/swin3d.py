@@ -171,10 +171,10 @@ def relative_position_index(full_window: Tuple3, eff_window: Tuple3) -> np.ndarr
 
 
 @functools.lru_cache(maxsize=None)
-def shift_attn_mask(
+def _shift_region_ids(
     padded_size: Tuple3, window: Tuple3, shift: Tuple3
 ) -> Optional[np.ndarray]:
-    """(nW, N, N) additive mask (0 / -100) for shifted-window attention.
+    """(nW, N) per-window region ids for the shifted-window mask.
 
     Same region-counting construction as reference compute_mask (:548-562),
     done in numpy at trace time.
@@ -193,11 +193,63 @@ def shift_attn_mask(
                 img_mask[d, h, w] = cnt
                 cnt += 1
     # partition into windows: (nW, N)
-    wins = img_mask.reshape(
+    return img_mask.reshape(
         D // window[0], window[0], H // window[1], window[1], W // window[2], window[2]
     ).transpose(0, 2, 4, 1, 3, 5).reshape(-1, window[0] * window[1] * window[2])
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(
+    padded_size: Tuple3, window: Tuple3, shift: Tuple3
+) -> Optional[np.ndarray]:
+    """(nW, N, N) additive mask (0 / -100) for shifted-window attention
+    (reference compute_mask :548-562)."""
+    wins = _shift_region_ids(padded_size, window, shift)
+    if wins is None:
+        return None
     diff = wins[:, None, :] - wins[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def shift_region_lanes(
+    padded_size: Tuple3, window: Tuple3, shift: Tuple3
+) -> Optional[np.ndarray]:
+    """(nW, N, nr) sqrt(100)-scaled per-window region one-hots R.
+
+    The shifted-window mask only tests region equality:
+    mask = -100*(1 - delta_same_region) and delta = R_01 @ R_01^T. The
+    attention kernels append these 0/10 columns to the q and k head slices
+    inside their hd -> 128 lane padding, so logits pick up +100*delta from
+    the SAME QK^T matmul at zero MXU cost — softmax-equivalent to the -100
+    additive form (the +/-100 differ by a per-row constant) — and the
+    (nW, N, N) mask add pass + VMEM block disappear. nr = max distinct
+    regions in any window (<= 8 for a 3-axis shift). Only fp32-logit
+    kernel paths may consume this form: +100 on the LIVE logits would cost
+    ~0.5 ulp in bf16 (the -100 form only perturbs suppressed entries).
+    Reference semantics: compute_mask (:548-562).
+    """
+    wins = _shift_region_ids(padded_size, window, shift)
+    if wins is None:
+        return None
+    nW, N = wins.shape
+    uniqs = [np.unique(w) for w in wins]
+    nr = max(len(u) for u in uniqs)
+    lanes = np.zeros((nW, N, nr), np.float32)
+    for w, u in enumerate(uniqs):
+        for j, rid in enumerate(u):
+            lanes[w, :, j] = np.where(wins[w] == rid, 10.0, 0.0)
+    return lanes
+
+
+def _use_mask_lanes(impl: str, fused: bool = False) -> bool:
+    """Shift mask in region-lanes form? Only the fp32-logit kernel paths
+    (flat_window_attention, fused_window_attn_block) consume it; the XLA /
+    headloop paths keep the additive mask (bf16 logits at +100 would lose
+    ~0.5 ulp on live entries)."""
+    from clover_tpu.ops.window_attention import mask_lanes_enabled
+
+    return mask_lanes_enabled() and (fused or impl == "pallas_flat")
 
 
 def embed_dims(cfg: SwinConfig, in_shape: Tuple3) -> Tuple3:
@@ -621,7 +673,10 @@ class SwinBlock3D(nn.Module):
         do_shift = any(s > 0 for s in shift)
         if do_shift:
             x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask_np = shift_attn_mask((Dp, Hp, Wp), window, shift)
+            make_mask = (shift_region_lanes
+                         if self.attn_drop == 0.0 and _use_mask_lanes(impl)
+                         else shift_attn_mask)
+            mask_np = make_mask((Dp, Hp, Wp), window, shift)
             attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
         else:
             attn_mask = None
@@ -672,20 +727,25 @@ class SwinBlock3D(nn.Module):
         B, L, C = x.shape
         N = window[0] * window[1] * window[2]
         do_shift = any(s > 0 for s in shift)
-        attn_mask = None
-        if do_shift:
-            x = _apply_window_perm(x, dims, window, shift, inverse=False)
-            mask_np = shift_attn_mask(dims, window, shift)
-            attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
-
         # fully-fused half-block: LN1 + qkv + attention + proj + residual in
         # one kernel — no XLA GEMMs (and none of their layout copies) and no
         # HBM round-trip of the 3C qkv tensor. DropPath rides as a
         # per-window row scale; only in-proj dropout (drop>0, zero in every
         # live config) forces the unfused path.
-        if (_fused_attn_enabled(N) and self.attn_drop == 0.0
-                and (deterministic or self.drop == 0.0)
-                and impl.startswith("pallas")):
+        use_fused = (_fused_attn_enabled(N) and self.attn_drop == 0.0
+                     and (deterministic or self.drop == 0.0)
+                     and impl.startswith("pallas"))
+        attn_mask = None
+        if do_shift:
+            x = _apply_window_perm(x, dims, window, shift, inverse=False)
+            make_mask = (shift_region_lanes
+                         if self.attn_drop == 0.0
+                         and _use_mask_lanes(impl, fused=use_fused)
+                         else shift_attn_mask)
+            mask_np = make_mask(dims, window, shift)
+            attn_mask = jnp.asarray(mask_np) if mask_np is not None else None
+
+        if use_fused:
             row_scale = None
             if not deterministic and self.drop_path > 0.0:
                 keep = 1.0 - self.drop_path
@@ -824,7 +884,11 @@ class SwinBlock3D(nn.Module):
         if do_shift:
             x = jnp.roll(x, shift=(-shift[0], -shift[1], -shift[2]),
                          axis=(1, 2, 3))
-            mask_np = shift_attn_mask((D, H, W_), window, shift)
+            # fused_block routes to the lanes-aware attn_block kernel
+            make_mask = (shift_region_lanes
+                         if _use_mask_lanes("fused_block", fused=True)
+                         else shift_attn_mask)
+            mask_np = make_mask((D, H, W_), window, shift)
             mask = jnp.asarray(mask_np) if mask_np is not None else None
         else:
             mask = None

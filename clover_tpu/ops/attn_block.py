@@ -43,14 +43,17 @@ _FORCE_PALLAS = False   # tests: interpret mode on CPU
 
 def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref, *,
-            eps: float, scale: float, nH: int, mask_ref=None, rs_ref=None):
+            eps: float, scale: float, nH: int, mask_ref=None, rs_ref=None,
+            lanes: bool = False):
     """v2 (bf16-dot protocol, like window_attention.py's flat v5): every
     dot is batched over the whole (W, ...) block and feeds the MXU the
     input dtype with fp32 accumulation; the per-window python loop of v1
     (small unbatched dots, fp32 MXU inputs — the measured 8x penalty) is
     gone. One head's fp32 logits live at a time; bias rides VMEM-resident
     in the compute dtype. rs_ref: optional (W, 1, 1) per-window DropPath
-    branch scale."""
+    branch scale. lanes: mask_ref is (W, N, nr) region one-hots riding the
+    QK^T dot instead of a (W, N, N) additive block (see
+    window_attention._attn_kernel_flat_lanes)."""
     W, N, C = x_ref.shape
     hd = C // nH
     x = x_ref[:].astype(jnp.float32)                      # (W, N, C)
@@ -64,18 +67,23 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
         preferred_element_type=jnp.float32) + bqkv_ref[0]
     qkv = qkv.astype(x_ref.dtype)                         # (W, N, 3C)
     sc = x_ref.dtype.type(scale)
+    r = mask_ref[:] if (lanes and mask_ref is not None) else None
     for h in range(nH):                                   # static offsets
         q = qkv[:, :, h * hd:(h + 1) * hd] * sc
         k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
         v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        if r is not None:
+            q = jnp.concatenate([q, r], axis=-1)
+            k = jnp.concatenate([k, r], axis=-1)
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)           # (W, N, N) f32
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        if mask_ref is not None:
+        if mask_ref is not None and not lanes:
             logits = logits + mask_ref[:].astype(jnp.float32)
         attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
-            logits, v, attn_ref.dtype)
+            logits, v, attn_ref.dtype,
+            static_shift=130.0 if (lanes and mask_ref is not None) else 30.0)
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bp_ref[0]
@@ -86,10 +94,10 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 
 def _kernel_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                    mask_ref, wp_ref, bp_ref, out_ref, attn_ref, *,
-                   eps, scale, nH):
+                   eps, scale, nH, lanes=False):
     _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref,
-            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref)
+            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, lanes=lanes)
 
 
 def _kernel_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
@@ -102,10 +110,11 @@ def _kernel_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 
 def _kernel_masked_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                       mask_ref, wp_ref, bp_ref, rs_ref, out_ref, attn_ref, *,
-                      eps, scale, nH):
+                      eps, scale, nH, lanes=False):
     _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref,
-            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, rs_ref=rs_ref)
+            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, rs_ref=rs_ref,
+            lanes=lanes)
 
 
 def _pad_to(n: int, to: int) -> int:
@@ -119,13 +128,17 @@ _BLOCK_VMEM_BUDGET = int(
 
 
 def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
-            nW: Optional[int], budget: int = None) -> int:
+            nW: Optional[int], budget: int = None,
+            nr: Optional[int] = None) -> int:
     """Largest per-program window-block W under the VMEM budget, with tile
     padding. Weights and the all-heads bias (compute dtype) stay resident
     (constant index maps); one head's fp32 logits + dtype probs live at a
-    time; the fp32 qkv accumulator is the largest per-block temporary."""
+    time; the fp32 qkv accumulator is the largest per-block temporary.
+    ``nr``: mask rides as (W, N, nr) region lanes + two (W, N, hd+nr)
+    concat temporaries instead of the (W, N, N) additive block."""
     if budget is None:
         budget = _BLOCK_VMEM_BUDGET
+    hd = C // nH
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     Cp = _pad_to(C, 128)
     C3p = _pad_to(3 * C, 128)
@@ -138,14 +151,20 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
             continue
         if nW is not None and (w > nW or nW % w):
             continue
+        if nr is not None:
+            mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                         + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+        elif nW is not None:
+            mask_need = w * Np_s * Np_l * (2 * itemsize + 4)  # x2 + f32 copy
+        else:
+            mask_need = 0
         act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buffers
                + w * Np_s * Cp * 4                  # x fp32
                + w * Np_s * Cp * itemsize           # xn
                + w * Np_s * C3p * (4 + itemsize)    # qkv fp32 + cast
                + w * Np_s * Np_l * (4 + itemsize)   # logits + probs (1 head)
                + w * Np_s * Cp * itemsize           # attn scratch
-               + (w * Np_s * Np_l * (2 * itemsize + 4)
-                  if nW is not None else 0))        # mask x2 + f32 copy
+               + mask_need)
         if weights + table + act <= budget:
             return w
     return 0
@@ -154,7 +173,7 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
 def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref, *,
                     eps: float, scale: float, G: int, hd: int, nG: int,
-                    mask_ref=None, rs_ref=None):
+                    mask_ref=None, rs_ref=None, lanes: bool = False):
     """Head-group-tiled fused half-block: grid (Bn//W, nG), g fastest.
 
     Per (i, g) program: the group's 3·gw-column stripe of the qkv
@@ -181,18 +200,23 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
         preferred_element_type=jnp.float32) + bqkv_ref[0]
     qkv = qkv.astype(x_ref.dtype)                     # (W, N, 3·gw)
     sc = x_ref.dtype.type(scale)
+    r = mask_ref[:] if (lanes and mask_ref is not None) else None
     for h in range(G):                                # static offsets
         q = qkv[:, :, h * hd:(h + 1) * hd] * sc
         k = qkv[:, :, gw + h * hd:gw + (h + 1) * hd]
         v = qkv[:, :, 2 * gw + h * hd:2 * gw + (h + 1) * hd]
+        if r is not None:
+            q = jnp.concatenate([q, r], axis=-1)
+            k = jnp.concatenate([k, r], axis=-1)
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        if mask_ref is not None:
+        if mask_ref is not None and not lanes:
             logits = logits + mask_ref[:].astype(jnp.float32)
         attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
-            logits, v, attn_ref.dtype)
+            logits, v, attn_ref.dtype,
+            static_shift=130.0 if (lanes and mask_ref is not None) else 30.0)
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[0], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (W, N, C) partial
@@ -216,11 +240,12 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 
 def _kernel_grouped_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                            mask_ref, wp_ref, bp_ref, out_ref, xn_ref,
-                           attn_ref, acc_ref, *, eps, scale, G, hd, nG):
+                           attn_ref, acc_ref, *, eps, scale, G, hd, nG,
+                           lanes=False):
     _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
                     eps=eps, scale=scale, G=G, hd=hd, nG=nG,
-                    mask_ref=mask_ref)
+                    mask_ref=mask_ref, lanes=lanes)
 
 
 def _kernel_grouped_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
@@ -234,19 +259,21 @@ def _kernel_grouped_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 def _kernel_grouped_masked_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref,
                               bias_ref, mask_ref, wp_ref, bp_ref, rs_ref,
                               out_ref, xn_ref, attn_ref, acc_ref, *,
-                              eps, scale, G, hd, nG):
+                              eps, scale, G, hd, nG, lanes=False):
     _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
                     eps=eps, scale=scale, G=G, hd=hd, nG=nG,
-                    mask_ref=mask_ref, rs_ref=rs_ref)
+                    mask_ref=mask_ref, rs_ref=rs_ref, lanes=lanes)
 
 
 def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
-             nW: Optional[int], budget: int = None):
+             nW: Optional[int], budget: int = None,
+             nr: Optional[int] = None):
     """(W, G) for the grouped fused half-block, or (0, 0).
 
     Prefers gw = G*hd in [128, 256] (full lane tiles with the least
-    acc-revisit overhead), then the largest W under the budget."""
+    acc-revisit overhead), then the largest W under the budget. ``nr``:
+    mask rides as region lanes (see _pick_w)."""
     if budget is None:
         budget = _BLOCK_VMEM_BUDGET
     hd = C // nH
@@ -267,13 +294,19 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
                 continue
             if nW is not None and (w > nW or nW % w):
                 continue
+            if nr is not None:
+                mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                             + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+            elif nW is not None:
+                mask_need = w * Np_s * Np_l * (2 * itemsize + 4)
+            else:
+                mask_need = 0
             act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buf
                    + w * Np_s * Cp * (itemsize + 4)     # xn + acc scratch
                    + w * Np_s * g3p * (4 + itemsize)    # qkv fp32 + cast
                    + w * Np_s * Np_l * (4 + itemsize)   # logits + probs
                    + w * Np_s * gwp * itemsize          # attn scratch
-                   + (w * Np_s * Np_l * (2 * itemsize + 4)
-                      if nW is not None else 0))
+                   + mask_need)
             if weights + table + act <= budget:
                 return w, G
     return 0, 0
@@ -286,7 +319,9 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
     nH = bias.shape[0]
     hd = C // nH
     nW = None if mask is None else mask.shape[0]
-    W, G = _pick_wg(Bn, nH, N, C, x.dtype.itemsize, nW)
+    lanes = mask is not None and mask.shape[-1] != mask.shape[-2]
+    nr = mask.shape[-1] if lanes else None
+    W, G = _pick_wg(Bn, nH, N, C, x.dtype.itemsize, nW, nr=nr)
     if W == 0:
         return None
     nG = nH // G
@@ -345,8 +380,10 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
             cost_estimate=cost,
             interpret=not _is_tpu(),
         )(*args, *tail_args)
-    mask_spec = pl.BlockSpec((W, N, N), lambda i, g: (i % (nW // W), 0, 0),
+    mask_spec = pl.BlockSpec((W, N, nr if lanes else N),
+                             lambda i, g: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
+    kwargs["lanes"] = lanes
     kern = (_kernel_grouped_masked_rs if row_scale is not None
             else _kernel_grouped_masked)
     return pl.pallas_call(
@@ -363,6 +400,11 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
 
 def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
                    wproj, bproj, scale, eps, row_scale=None):
+    if mask is not None and mask.shape[-1] != mask.shape[-2]:
+        # region-lanes form -> classic additive mask (see window_attention)
+        from clover_tpu.ops.window_attention import lanes_to_additive
+
+        mask = lanes_to_additive(mask.astype(jnp.float32))
     Bn, N, C = x.shape
     nH = bias.shape[0]
     hd = C // nH
@@ -398,7 +440,9 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     nH = bias.shape[0]
     use_pallas = _is_tpu() or _FORCE_PALLAS
     nW = None if mask is None else mask.shape[0]
-    W = _pick_w(Bn, nH, N, C, x.dtype.itemsize, nW) if use_pallas else 0
+    lanes = mask is not None and mask.shape[-1] != mask.shape[-2]
+    nr = mask.shape[-1] if lanes else None
+    W = _pick_w(Bn, nH, N, C, x.dtype.itemsize, nW, nr=nr) if use_pallas else 0
     if W == 0:
         if use_pallas:
             # all-heads bias busts VMEM (Swin-B stages 2-3 at N=392):
@@ -449,11 +493,12 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
         )(*args, *tail_args)
     # BLOCK index semantics (element offset = index * block dim):
     # i % (nW // W), NOT (i*W) % nW — see window_attention._forward_v2
-    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
+    mask_spec = pl.BlockSpec((W, N, nr if lanes else N),
+                             lambda i: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
     kern = _kernel_masked_rs if row_scale is not None else _kernel_masked
     return pl.pallas_call(
-        functools.partial(kern, eps=eps, scale=scale, nH=nH),
+        functools.partial(kern, eps=eps, scale=scale, nH=nH, lanes=lanes),
         grid=(Bn // W,),
         in_specs=common_in + [mask_spec] + tail_in,
         out_specs=x_spec,

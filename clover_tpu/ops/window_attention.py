@@ -498,10 +498,49 @@ def _vmem_softmax(logits, out_dtype):
 # (parity-tested vs the XLA reference).
 _FUSED_SUM = _os.environ.get("CLOVER_WA_FUSED_SUM", "1") != "0"
 
+# Static-shift softmax experiment (CLOVER_WA_NO_MAX=1, default off): skip
+# the row-max reduce pass and compute exp(logits - static_shift) with a
+# shift chosen per kernel call (130 when +100 region lanes ride the
+# logits, 30 otherwise). SAFE ONLY under a bounded-logit assumption
+# |q·kᵀ·scale + bias| <= ~55: the bf16 exp underflows at arg ~ -88 (an
+# all-underflow row would produce 0/0 = NaN) and overflows at ~ +88.
+# Softmax with a true row max has neither failure mode — hence opt-in.
+_NO_MAX = _os.environ.get("CLOVER_WA_NO_MAX", "0") != "0"
 
-def _softmax_pv(logits, v, out_dtype):
+# Region-lanes shift mask: mask = -100*(1 - delta_same_region) and
+# delta = R·Rᵀ for a per-window region one-hot R (<= 8 columns). Appending
+# the 0/10-valued R columns to the q and k head slices inside the hd -> 128
+# lane padding makes the mask ride the SAME QK^T matmul (logits += 100·δ,
+# softmax-equivalent up to a per-row constant) at zero MXU cost — the
+# (W, N, N) mask add pass and the (nW, N, N) mask VMEM block disappear.
+# CONVENTION: a mask argument of shape (nW, N, nr) with nr != N is the
+# lanes form (swin3d.shift_region_lanes); (nW, N, N) is the additive form.
+# Only fp32-logit paths may consume lanes (+100 on LIVE logits costs
+# ~0.5 ulp in bf16; the -100 form only perturbs suppressed entries).
+_MASK_LANES = _os.environ.get("CLOVER_WA_MASK_LANES", "1") != "0"
+
+
+def mask_lanes_enabled() -> bool:
+    """Callers (swin3d) build the shift mask in region-lanes form for the
+    fp32-logit kernel paths when this is on (CLOVER_WA_MASK_LANES)."""
+    return _MASK_LANES
+
+
+def _is_lanes(mask) -> bool:
+    return mask is not None and mask.shape[-1] != mask.shape[-2]
+
+
+def lanes_to_additive(lanes):
+    """(nW, N, nr) 0/10 region lanes -> the classic (nW, N, N) additive
+    0/-100 mask (exactly shift_attn_mask's values), for XLA fallbacks."""
+    return jnp.einsum("wnr,wmr->wnm", lanes, lanes) - 100.0
+
+
+def _softmax_pv(logits, v, out_dtype, static_shift=None):
     """(softmax(logits, -1) · v) for logits (W, N, N) f32, v (W, N, hd)
-    compute-dtype. Returns (W, N, hd) in out_dtype."""
+    compute-dtype. Returns (W, N, hd) in out_dtype. static_shift: with
+    CLOVER_WA_NO_MAX, subtract this constant instead of the row max
+    (see _NO_MAX for the bounded-logit contract)."""
     hd = v.shape[-1]
     if not _FUSED_SUM or hd % 128 == 0:
         # full lane tiles: the ones column would add a whole extra tile
@@ -510,8 +549,12 @@ def _softmax_pv(logits, v, out_dtype):
             probs, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return o.astype(out_dtype)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m).astype(v.dtype)
+    if _NO_MAX and static_shift is not None:
+        m = jnp.float32(static_shift)
+        e = jnp.exp(logits - m).astype(v.dtype)
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m).astype(v.dtype)
     v1 = jnp.concatenate(
         [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
     o = jax.lax.dot_general(
@@ -535,7 +578,7 @@ def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # (W, N, N) f32 acc
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -552,7 +595,31 @@ def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        out = _softmax_pv(logits, v, out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out
+
+
+def _attn_kernel_flat_lanes(qkv_ref, bias_ref, r_ref, out_ref, *,
+                            scale, nH, hd):
+    """Flat kernel, shift mask as region lanes: r_ref (W, N, nr) carries
+    0/10 one-hots; concatenating them onto the q and k head slices makes
+    the QK^T dot emit logits + 100·same-region — the mask add pass and its
+    (W, N, N) block are gone (the extra columns live in the hd -> 128 lane
+    padding the MXU pays for anyway)."""
+    C = nH * hd
+    sc = qkv_ref.dtype.type(scale)
+    r = r_ref[:]                                     # (W, N, nr)
+    for h in range(nH):
+        q = jnp.concatenate(
+            [qkv_ref[:, :, h * hd:(h + 1) * hd] * sc, r], axis=-1)
+        k = jnp.concatenate(
+            [qkv_ref[:, :, C + h * hd:C + (h + 1) * hd], r], axis=-1)
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -571,7 +638,7 @@ def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -587,7 +654,27 @@ def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        out = _softmax_pv(logits, v, out_ref.dtype)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out
+
+
+def _attn_kernel_flat_grouped_lanes(q_ref, k_ref, v_ref, bias_ref, r_ref,
+                                    out_ref, *, scale, G, hd):
+    """Grouped kernel with the shift mask as region lanes (see
+    _attn_kernel_flat_lanes)."""
+    sc = q_ref.dtype.type(scale)
+    r = r_ref[:]
+    for h in range(G):
+        q = jnp.concatenate(
+            [q_ref[:, :, h * hd:(h + 1) * hd] * sc, r], axis=-1)
+        k = jnp.concatenate(
+            [k_ref[:, :, h * hd:(h + 1) * hd], r], axis=-1)
+        v = v_ref[:, :, h * hd:(h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -611,10 +698,13 @@ _FLAT_MAX_N = int(_os.environ.get("CLOVER_WA_MAX_N", "512"))
 
 
 def _pick_window_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
-                            nW: Optional[int]) -> int:
+                            nW: Optional[int],
+                            nr: Optional[int] = None) -> int:
     """Per-program VMEM with tile padding: double-buffered qkv/out/mask
     blocks, resident all-heads bias (dtype), one head's fp32 logits +
-    dtype probs live at a time."""
+    dtype probs live at a time. ``nr``: the shift mask rides as (W, N, nr)
+    region lanes instead of a (W, N, N) additive block (plus two
+    (W, N, hd+nr) concat temporaries, minus the mask f32 copy)."""
     C = nH * hd
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     for w in (64, 32, 16, 8, 4, 2, 1):
@@ -622,13 +712,20 @@ def _pick_window_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
             continue
         if nW is not None and (w > nW or nW % w):
             continue
+        if nr is not None:
+            mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                         + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+        elif nW is not None:
+            mask_need = (2 * w * Np_s * Np_l * itemsize     # mask block x2
+                         + w * Np_s * Np_l * 4)             # mask f32 copy
+        else:
+            mask_need = 0
         need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize   # qkv x2
                 + 2 * w * Np_s * _pad_to(C, 128) * itemsize     # out x2
                 + 2 * nH * Np_s * Np_l * itemsize               # bias x2
-                + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                + mask_need
                 + w * Np_s * Np_l * (4 + itemsize)              # logits+probs
-                + Np_s * Np_l * 4                               # bias f32 copy
-                + (w * Np_s * Np_l * 4 if nW is not None else 0))  # mask f32
+                + Np_s * Np_l * 4)                              # bias f32 copy
         if need <= _FLAT_VMEM_BUDGET:
             return w
     return 0
@@ -638,11 +735,12 @@ _GROUPED_ON = _os.environ.get("CLOVER_WA_GROUPED", "1") != "0"
 
 
 def _pick_group_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
-                           nW):
+                           nW, nr: Optional[int] = None):
     """(W, G) for the head-grouped kernel, or (0, 0) if infeasible.
 
     Prefers G*hd = 128 (full lane tiles on the q/k/v slices) and the
-    largest batch-window block W that fits the VMEM budget."""
+    largest batch-window block W that fits the VMEM budget. ``nr``: mask
+    rides as region lanes (see _pick_window_block_flat)."""
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     groups = [g for g in (8, 4, 2, 1)
               if nH % g == 0 and g * hd <= 512]
@@ -654,13 +752,20 @@ def _pick_group_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
                 continue
             if nW is not None and (w > nW or nW % w):
                 continue
+            if nr is not None:
+                mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                             + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+            elif nW is not None:
+                mask_need = (2 * w * Np_s * Np_l * itemsize
+                             + w * Np_s * Np_l * 4)
+            else:
+                mask_need = 0
             need = (3 * 2 * w * Np_s * gl * itemsize        # q,k,v x2
                     + 2 * w * Np_s * gl * itemsize          # out x2
                     + 2 * G * Np_s * Np_l * itemsize        # bias x2
-                    + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                    + mask_need
                     + w * Np_s * Np_l * (4 + itemsize)      # logits+probs
-                    + Np_s * Np_l * 4                       # bias f32 copy
-                    + (w * Np_s * Np_l * 4 if nW is not None else 0))
+                    + Np_s * Np_l * 4)                      # bias f32 copy
             if need <= _FLAT_VMEM_BUDGET:
                 return w, G
     return 0, 0
@@ -677,7 +782,10 @@ def _forward_flat_grouped(qkv, bias, mask, scale, num_heads):
     if not _GROUPED_ON or hd % 8:
         return None
     nW = None if mask is None else mask.shape[0]
-    W, G = _pick_group_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
+    W, G = _pick_group_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize,
+                                  nW, nr)
     if W == 0:
         return None
     nG = num_heads // G
@@ -712,6 +820,18 @@ def _forward_flat_grouped(qkv, bias, mask, scale, num_heads):
             interpret=_interpret(),
         )(qkv, qkv, qkv, bias.astype(qkv.dtype))
     # BLOCK index semantics: i % (nW // W), NOT (i*W) % nW (see _forward_v2)
+    if lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda i, g: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat_grouped_lanes, **kwargs),
+            grid=(Bn // W, nG),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, r_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bn, N, C), qkv.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv, qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
     mask_spec = pl.BlockSpec((W, N, N), lambda i, g: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -732,7 +852,10 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
     C = threeC // 3
     hd = C // num_heads
     nW = None if mask is None else mask.shape[0]
-    W = (_pick_window_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
+    W = (_pick_window_block_flat(Bn, num_heads, N, hd, qkv.dtype.itemsize,
+                                 nW, nr)
          if N <= _FLAT_MAX_N else 0)
     if W == 0:
         # all-heads bias block busts VMEM (32-frame stages 2-3): tile the
@@ -740,14 +863,16 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
         out = _forward_flat_grouped(qkv, bias, mask, scale, num_heads)
         if out is not None:
             return out
-        if _LONG_IMPL == "v7":
-            out = _forward_flat_flash(qkv, bias, mask, scale, num_heads)
-            if out is not None:
-                return out
-        elif _LONG_IMPL in ("1", "v6"):
-            out = _forward_long_from_flat(qkv, bias, mask, scale, num_heads)
-            if out is not None:
-                return out
+        if not lanes:  # flash variants take the additive mask only
+            if _LONG_IMPL == "v7":
+                out = _forward_flat_flash(qkv, bias, mask, scale, num_heads)
+                if out is not None:
+                    return out
+            elif _LONG_IMPL in ("1", "v6"):
+                out = _forward_long_from_flat(qkv, bias, mask, scale,
+                                              num_heads)
+                if out is not None:
+                    return out
         return _xla_flat_reference(qkv, bias, mask, scale, num_heads)
     qkv_spec = pl.BlockSpec((W, N, 3 * C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -774,6 +899,18 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
         )(qkv, bias.astype(qkv.dtype))
     # BLOCK index semantics (element offset = index * block dim); see the
     # same-named comment in _forward_v2 — i % (nW // W), NOT (i*W) % nW
+    if lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda i: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat_lanes, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec, r_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bn, N, C), qkv.dtype),
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
     mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1130,6 +1267,11 @@ def _xla_flat_reference(qkv, bias, mask, scale, num_heads,
     softmax) — used by _flat_bwd's recompute when the forward ran the
     kernel but the bwd kernel is shape-infeasible, so gradients correspond
     to the math the executed forward actually did."""
+    if _is_lanes(mask):
+        # region-lanes form: expand back to the classic additive mask
+        # (softmax-equivalent to the kernels' +100·δ up to a row constant,
+        # and bf16-safe: -100 only perturbs suppressed entries)
+        mask = lanes_to_additive(mask)
     Bn, N, threeC = qkv.shape
     C = threeC // 3
     hd = C // num_heads
@@ -1166,7 +1308,7 @@ def _xla_flat_reference(qkv, bias, mask, scale, num_heads,
 
 
 def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
-                          scale, nH, hd, n_i, mask_ref=None):
+                          scale, nH, hd, n_i, mask_ref=None, r_ref=None):
     C = nH * hd
     i = pl.program_id(0)
 
@@ -1175,6 +1317,7 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     sc = qkv_ref.dtype.type(scale)
+    r = None if r_ref is None else r_ref[:]          # region lanes (W, N, nr)
     for h in range(nH):
         # qs = q*scale in bf16: logits = qs·k needs no (W,N,N) scale pass,
         # and dk = dlogᵀ·q·scale = dlogᵀ·qs absorbs its scale too (dq keeps
@@ -1182,9 +1325,19 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
         qs = qkv_ref[:, :, h * hd:(h + 1) * hd] * sc         # (W, N, hd)
         k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd]
         v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
-        logits = jax.lax.dot_general(
-            qs, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
+        if r is not None:
+            # shift mask rides the recompute dot as region lanes (see
+            # _attn_kernel_flat_lanes); dq/dk below contract the REAL
+            # k/qs — the lanes are constants with zero gradient
+            logits = jax.lax.dot_general(
+                jnp.concatenate([qs, r], axis=-1),
+                jnp.concatenate([k, r], axis=-1),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (W, Nq, Nk)
+        else:
+            logits = jax.lax.dot_general(
+                qs, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (W, Nq, Nk)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
@@ -1228,9 +1381,16 @@ def _attn_kernel_flat_bwd_masked(qkv_ref, bias_ref, g_ref, mask_ref,
                           mask_ref=mask_ref)
 
 
+def _attn_kernel_flat_bwd_lanes(qkv_ref, bias_ref, g_ref, r_ref,
+                                dqkv_ref, dbias_ref, *, scale, nH, hd, n_i):
+    _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                          scale=scale, nH=nH, hd=hd, n_i=n_i, r_ref=r_ref)
+
+
 def _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                   dq_ref, dk_ref, dv_ref, dbias_ref, *,
-                                  scale, G, hd, n_i, mask_ref=None):
+                                  scale, G, hd, n_i, mask_ref=None,
+                                  r_ref=None):
     """Head-GROUP-tiled flat attention backward: grid (nG, Bn//W), i fastest
     so the group's dbias block stays VMEM-resident across the whole window
     sweep. q/k/v/g and dq/dk/dv are lane-sliced BlockSpec views of the flat
@@ -1245,13 +1405,22 @@ def _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     sc = q_ref.dtype.type(scale)
+    r = None if r_ref is None else r_ref[:]          # region lanes (W, N, nr)
     for h in range(G):
         qs = q_ref[:, :, h * hd:(h + 1) * hd] * sc           # (W, N, hd)
         k = k_ref[:, :, h * hd:(h + 1) * hd]
         v = v_ref[:, :, h * hd:(h + 1) * hd]
-        logits = jax.lax.dot_general(
-            qs, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
+        if r is not None:
+            # lanes ride the recompute dot; dq/dk contract the real k/qs
+            logits = jax.lax.dot_general(
+                jnp.concatenate([qs, r], axis=-1),
+                jnp.concatenate([k, r], axis=-1),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (W, Nq, Nk)
+        else:
+            logits = jax.lax.dot_general(
+                qs, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (W, Nq, Nk)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
@@ -1290,9 +1459,19 @@ def _attn_kernel_flat_bwd_grouped_masked(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                   mask_ref=mask_ref)
 
 
+def _attn_kernel_flat_bwd_grouped_lanes(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                        r_ref, dq_ref, dk_ref, dv_ref,
+                                        dbias_ref, *, scale, G, hd, n_i):
+    _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                  dq_ref, dk_ref, dv_ref, dbias_ref,
+                                  scale=scale, G=G, hd=hd, n_i=n_i,
+                                  r_ref=r_ref)
+
+
 def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
-                          itemsize: int, nW):
-    """(W, G) for the grouped bwd kernel, or (0, 0)."""
+                          itemsize: int, nW, nr: Optional[int] = None):
+    """(W, G) for the grouped bwd kernel, or (0, 0). ``nr``: shift mask as
+    region lanes (see _pick_window_block_flat)."""
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     groups = [g for g in (8, 4, 2, 1) if nH % g == 0 and g * hd <= 512]
     groups.sort(key=lambda g: (abs(g * hd - 128), -g))
@@ -1303,13 +1482,20 @@ def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
                 continue
             if nW is not None and (w > nW or nW % w):
                 continue
+            if nr is not None:
+                mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                             + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+            elif nW is not None:
+                mask_need = (2 * w * Np_s * Np_l * itemsize
+                             + w * Np_s * Np_l * 4)
+            else:
+                mask_need = 0
             need = (4 * 2 * w * Np_s * gl * itemsize        # q,k,v,g x2
                     + 3 * 2 * w * Np_s * gl * itemsize      # dq,dk,dv x2
                     + G * Np_s * Np_l * 4                   # dbias resident
                     + 2 * G * Np_s * Np_l * itemsize        # bias x2
-                    + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
-                    + 3 * w * Np_s * Np_l * 4               # e/dp/dlog f32
-                    + (w * Np_s * Np_l * 4 if nW is not None else 0))
+                    + mask_need
+                    + 3 * w * Np_s * Np_l * 4)              # e/dp/dlog f32
             if need <= _FLAT_VMEM_BUDGET:
                 return w, G
     return 0, 0
@@ -1323,7 +1509,10 @@ def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g):
     if not _GROUPED_ON or hd % 8:
         return None
     nW = None if mask is None else mask.shape[0]
-    W, G = _pick_group_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
+    W, G = _pick_group_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize,
+                                 nW, nr)
     if W == 0:
         return None
     nG = num_heads // G
@@ -1362,6 +1551,18 @@ def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g):
             cost_estimate=cost,
             interpret=_interpret(),
         )(qkv, qkv, qkv, bias.astype(dt), g)
+    elif lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda gi, i: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_attn_kernel_flat_bwd_grouped_lanes, **kwargs),
+            grid=(nG, Bn // W),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, g_spec, r_spec],
+            out_specs=(q_spec, q_spec, q_spec, dbias_spec),
+            out_shape=out_shapes,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, qkv, qkv, bias.astype(dt), g, mask.astype(dt))
     else:
         mask_spec = pl.BlockSpec((W, N, N), lambda gi, i: (i % (nW // W), 0, 0),
                                  memory_space=pltpu.VMEM)
@@ -1379,7 +1580,8 @@ def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g):
 
 
 def _pick_window_block_bwd(Bn: int, nH: int, N: int, hd: int,
-                           itemsize: int, nW: Optional[int]) -> int:
+                           itemsize: int, nW: Optional[int],
+                           nr: Optional[int] = None) -> int:
     C = nH * hd
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     for w in (16, 8, 4, 2, 1):
@@ -1387,12 +1589,19 @@ def _pick_window_block_bwd(Bn: int, nH: int, N: int, hd: int,
             continue
         if nW is not None and (w > nW or nW % w):
             continue
+        if nr is not None:
+            mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                         + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+        elif nW is not None:
+            mask_need = 2 * w * Np_s * Np_l * itemsize
+        else:
+            mask_need = 0
         need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize   # qkv x2
                 + 2 * w * Np_s * _pad_to(C, 128) * itemsize     # g x2
                 + 2 * w * Np_s * _pad_to(3 * C, 128) * itemsize  # dqkv x2
                 + nH * Np_s * Np_l * 4                          # dbias res.
                 + 2 * nH * Np_s * Np_l * itemsize               # bias x2
-                + (2 * w * Np_s * Np_l * itemsize if nW is not None else 0)
+                + mask_need
                 + 3 * w * Np_s * Np_l * 4)      # logits/p32 + dp + dlog f32
         if need <= _FLAT_VMEM_BUDGET:
             return w
@@ -1408,9 +1617,12 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
     C = threeC // 3
     hd = C // num_heads
     nW = None if mask is None else mask.shape[0]
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
     if N > _FLAT_MAX_N:
         return None
-    W = _pick_window_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)
+    W = _pick_window_block_bwd(Bn, num_heads, N, hd, qkv.dtype.itemsize,
+                               nW, nr)
     if W == 0:
         # all-heads working set busts VMEM (Swin-B stage 3: nH=32, C=1024,
         # and stages 2-3 at 32 frames): tile over head groups before
@@ -1444,6 +1656,18 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
             cost_estimate=cost,
             interpret=_interpret(),
         )(qkv, bias.astype(dt), g)
+    if lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda i: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat_bwd_lanes, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec, g_spec, r_spec],
+            out_specs=(qkv_spec, dbias_spec),
+            out_shape=out_shapes,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv, bias.astype(dt), g, mask.astype(dt))
     mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -1464,6 +1688,12 @@ def flat_window_attention(qkv, bias, mask, scale, num_heads):
     Head slicing happens in VMEM; logits never touch HBM; dots run in the
     input dtype with fp32 accumulation (matching 'xla_headloop' numerics).
     Returns (Bn, N, C) in qkv.dtype.
+
+    ``mask`` accepts two forms, distinguished by shape: (nW, N, N) is the
+    classic additive mask; (nW, N, nr) with nr != N is the region-LANES
+    form (swin3d.shift_region_lanes) whose 0/10 columns ride the QK^T dot
+    inside the lane padding — softmax-equivalent, and faster on the kernel
+    path (no (W, N, N) mask add pass / block).
 
     CONTRACT — ``mask`` gradient is always ZERO on the kernel path: shift
     masks are trace-time constants in this model (swin3d.shift_attn_mask),
@@ -1498,13 +1728,14 @@ def _flat_bwd(scale, num_heads, residuals, g):
     C = threeC // 3
     hd = C // num_heads
     nW = None if mask is None else mask.shape[0]
+    nr = mask.shape[-1] if _is_lanes(mask) else None
     fwd_used_kernel = (
         N <= _FLAT_MAX_N
         and (_pick_window_block_flat(
-                 Bn, num_heads, N, hd, qkv.dtype.itemsize, nW) > 0
+                 Bn, num_heads, N, hd, qkv.dtype.itemsize, nW, nr) > 0
              or (_GROUPED_ON and hd % 8 == 0
                  and _pick_group_block_flat(
-                     Bn, num_heads, N, hd, qkv.dtype.itemsize, nW)[0] > 0)))
+                     Bn, num_heads, N, hd, qkv.dtype.itemsize, nW, nr)[0] > 0)))
     if mask is None:
         _, vjp = jax.vjp(
             lambda a, b: _xla_flat_reference(a, b, None, scale, num_heads,

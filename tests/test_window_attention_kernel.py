@@ -325,3 +325,139 @@ def test_flat_bwd_grouped_matches_xla(rng):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------------ region lanes
+# Shift mask as region one-hot q/k lanes (CLOVER_WA_MASK_LANES): the mask
+# rides the QK^T matmul inside the hd->128 lane padding instead of a
+# (W, N, N) additive pass. Softmax-equivalent (+100 on-region vs -100
+# off-region differ by a per-row constant).
+
+
+def _real_geometry():
+    """A real shifted-window geometry so lanes and mask agree exactly."""
+    from clover_tpu.models.swin3d import shift_attn_mask, shift_region_lanes
+
+    size, win, shift = (4, 6, 6), (2, 3, 3), (1, 1, 1)
+    mask = shift_attn_mask(size, win, shift)        # (8, 18, 18)
+    lanes = shift_region_lanes(size, win, shift)    # (8, 18, nr)
+    return jnp.asarray(mask), jnp.asarray(lanes)
+
+
+def test_region_lanes_reconstruct_mask():
+    from clover_tpu.models.swin3d import shift_attn_mask, shift_region_lanes
+    from clover_tpu.ops.window_attention import lanes_to_additive
+
+    for size, win, shift in [((4, 6, 6), (2, 3, 3), (1, 1, 1)),
+                             ((2, 8, 8), (2, 4, 4), (0, 2, 2)),
+                             ((8, 7, 7), (8, 7, 7), (4, 3, 3)),
+                             ((8, 14, 14), (8, 7, 7), (4, 3, 3))]:
+        mask = shift_attn_mask(size, win, shift)
+        lanes = shift_region_lanes(size, win, shift)
+        assert lanes.shape[:2] == mask.shape[:2]
+        assert lanes.shape[-1] <= 8, "per-window regions bounded by 2^3"
+        add = np.asarray(lanes_to_additive(jnp.asarray(lanes)))
+        np.testing.assert_allclose(add, mask, atol=1e-6)
+
+
+def test_flat_kernel_lanes_matches_additive(rng, monkeypatch):
+    """flat + grouped forward kernels with lanes vs the additive-mask
+    fp32-logit reference."""
+    import clover_tpu.ops.window_attention as wa
+
+    mask, lanes = _real_geometry()
+    nW, N = mask.shape[:2]
+    nH, hd = 2, 16
+    C = nH * hd
+    Bn = 2 * nW
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    scale = hd ** -0.5
+    ref = wa._xla_flat_reference(qkv, bias, mask, scale, nH, fp32_logits=True)
+
+    out = wa.flat_window_attention(qkv, bias, lanes, scale, nH)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # force the grouped kernel (the 32-frame stages 2-3 shape class)
+    monkeypatch.setattr(wa, "_pick_window_block_flat", lambda *a, **k: 0)
+    out_g = wa.flat_window_attention(qkv, bias, lanes, scale, nH)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref), atol=1e-4)
+
+    # XLA fallback route (lanes -> additive conversion)
+    ref_l = wa._xla_flat_reference(qkv, bias, lanes, scale, nH)
+    ref_m = wa._xla_flat_reference(qkv, bias, mask, scale, nH)
+    np.testing.assert_allclose(np.asarray(ref_l), np.asarray(ref_m),
+                               atol=1e-4)
+
+
+def test_flat_kernel_lanes_grads_match(rng, monkeypatch):
+    """bwd kernels (flat + grouped) with lanes vs additive-mask autodiff."""
+    import clover_tpu.ops.window_attention as wa
+
+    mask, lanes = _real_geometry()
+    nW, N = mask.shape[:2]
+    nH, hd = 2, 16
+    C = nH * hd
+    Bn = 2 * nW
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    scale = hd ** -0.5
+    g = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+
+    def loss_ref(qkv, bias):
+        out = wa._xla_flat_reference(qkv, bias, mask, scale, nH,
+                                     fp32_logits=True)
+        return jnp.sum(out * g)
+
+    dqkv_ref, dbias_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+
+    def loss_lanes(qkv, bias):
+        return jnp.sum(wa.flat_window_attention(qkv, bias, lanes, scale, nH)
+                       * g)
+
+    for force_grouped in (False, True):
+        if force_grouped:
+            monkeypatch.setattr(wa, "_pick_window_block_bwd",
+                                lambda *a, **k: 0)
+        dqkv, dbias = jax.grad(loss_lanes, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_ref),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"grouped={force_grouped}")
+        np.testing.assert_allclose(np.asarray(dbias), np.asarray(dbias_ref),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"grouped={force_grouped}")
+
+
+def test_attn_block_lanes_matches_additive(rng, monkeypatch):
+    """fused half-block (attn_block) with lanes vs additive reference,
+    flat and grouped grids."""
+    import clover_tpu.ops.attn_block as AB
+
+    monkeypatch.setattr(AB, "_FORCE_PALLAS", True)
+    mask, lanes = _real_geometry()
+    nW, N = mask.shape[:2]
+    nH, hd = 2, 16
+    C = nH * hd
+    Bn = 2 * nW
+    x = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32) * 0.5)
+    ls = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    lb = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * 0.05)
+    bqkv = jnp.asarray(rng.normal(size=3 * C).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32) * 0.2)
+    wp = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * 0.05)
+    bp = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    scale = hd ** -0.5
+
+    ref = AB._xla_reference(x, ls, lb, wqkv, bqkv, bias, mask, wp, bp,
+                            scale, 1e-5)
+    got = AB.fused_window_attn_block(x, ls, lb, wqkv, bqkv, bias, lanes,
+                                     wp, bp, None, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    monkeypatch.setattr(AB, "_pick_w", lambda *a, **k: 0)
+    got_g = AB.fused_window_attn_block(x, ls, lb, wqkv, bqkv, bias, lanes,
+                                       wp, bp, None, scale)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
