@@ -504,7 +504,8 @@ class WindowAttention3D(nn.Module):
             # fused kernel on the UN-relayouted qkv: head slicing happens in
             # VMEM and the (Bn, nH, N, N) logits never touch HBM; falls back
             # to equivalent XLA math off-TPU / when VMEM-infeasible
-            from clover_tpu.ops.window_attention import flat_window_attention
+            from clover_tpu.ops.window_attention import (
+                flat_window_attention, no_max_enabled)
 
             if attn_mask is not None:
                 nW = attn_mask.shape[0]
@@ -512,7 +513,8 @@ class WindowAttention3D(nn.Module):
             else:
                 flat_mask = None
             out = flat_window_attention(qkv_flat, bias, flat_mask, scale,
-                                        self.num_heads)
+                                        self.num_heads,
+                                        no_max_enabled(deterministic))
             out = dense(self.dim, dtype=self.dtype, name="proj")(
                 out.reshape(-1, C)).reshape(Bn, N, C)
             return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
@@ -754,7 +756,7 @@ class SwinBlock3D(nn.Module):
                 per_sample = mask_b.astype(jnp.float32) / keep
                 row_scale = jnp.repeat(per_sample, L // N)  # (Bn,)
             x = self._fused_resident_half(x, window, attn_mask, N, row_scale,
-                                          bias_cache)
+                                          bias_cache, deterministic)
             x = self._mlp_half(x, deterministic)
             if do_shift:
                 x = _apply_window_perm(x, dims, window, shift, inverse=True)
@@ -819,7 +821,8 @@ class SwinBlock3D(nn.Module):
 
     def _fused_resident_half(self, x: jax.Array, window, attn_mask,
                              N: int, row_scale=None,
-                             bias_cache=None) -> jax.Array:
+                             bias_cache=None,
+                             deterministic: bool = True) -> jax.Array:
         """Window-resident fused half-block: x (B, L, C) already window-major
         (and already permuted for shifted blocks); runs the whole
         LN1+attn+proj+residual in one Pallas kernel. Params declared at the
@@ -843,9 +846,12 @@ class SwinBlock3D(nn.Module):
         scale = self.qk_scale or head_dim ** -0.5
         qkv_bias_val = (b_qkv if self.qkv_bias
                         else jnp.zeros((3 * C,), jnp.float32))
+        from clover_tpu.ops.window_attention import no_max_enabled
+
         y = fused_window_attn_block(
             x.reshape(-1, N, C), ln_scale, ln_bias, k_qkv, qkv_bias_val,
-            bias, attn_mask, k_proj, b_proj, row_scale, scale)
+            bias, attn_mask, k_proj, b_proj, row_scale, scale, 1e-5,
+            no_max_enabled(deterministic))
         return y.reshape(B, L, C)
 
     def _fused_attn_half(self, x: jax.Array, window, shift,
@@ -896,10 +902,13 @@ class SwinBlock3D(nn.Module):
         x_windows = window_partition(x, window)            # pre-LN, (Bn, N, C)
         qkv_bias_val = (p_attn["qkv"]["bias"] if self.qkv_bias
                         else jnp.zeros((3 * C,), jnp.float32))
+        from clover_tpu.ops.window_attention import no_max_enabled
+
         y = fused_window_attn_block(
             x_windows, p_norm["scale"], p_norm["bias"],
             p_attn["qkv"]["kernel"], qkv_bias_val, bias, mask,
-            p_attn["proj"]["kernel"], p_attn["proj"]["bias"], None, scale)
+            p_attn["proj"]["kernel"], p_attn["proj"]["bias"], None, scale,
+            1e-5, no_max_enabled(deterministic))
         x = window_reverse(y, window, B, D, H, W_)
         if do_shift:
             x = jnp.roll(x, shift=shift, axis=(1, 2, 3))

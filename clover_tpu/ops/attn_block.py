@@ -44,7 +44,7 @@ _FORCE_PALLAS = False   # tests: interpret mode on CPU
 def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref, *,
             eps: float, scale: float, nH: int, mask_ref=None, rs_ref=None,
-            lanes: bool = False):
+            lanes: bool = False, no_max: bool = False):
     """v2 (bf16-dot protocol, like window_attention.py's flat v5): every
     dot is batched over the whole (W, ...) block and feeds the MXU the
     input dtype with fp32 accumulation; the per-window python loop of v1
@@ -83,7 +83,8 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             logits = logits + mask_ref[:].astype(jnp.float32)
         attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
             logits, v, attn_ref.dtype,
-            static_shift=130.0 if (lanes and mask_ref is not None) else 30.0)
+            static_shift=None if not no_max
+            else (130.0 if (lanes and mask_ref is not None) else 30.0))
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bp_ref[0]
@@ -94,27 +95,28 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 
 def _kernel_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                    mask_ref, wp_ref, bp_ref, out_ref, attn_ref, *,
-                   eps, scale, nH, lanes=False):
+                   eps, scale, nH, lanes=False, no_max=False):
     _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref,
-            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, lanes=lanes)
+            eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, lanes=lanes,
+            no_max=no_max)
 
 
 def _kernel_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                wp_ref, bp_ref, rs_ref, out_ref, attn_ref, *,
-               eps, scale, nH):
+               eps, scale, nH, no_max=False):
     _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref,
-            eps=eps, scale=scale, nH=nH, rs_ref=rs_ref)
+            eps=eps, scale=scale, nH=nH, rs_ref=rs_ref, no_max=no_max)
 
 
 def _kernel_masked_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                       mask_ref, wp_ref, bp_ref, rs_ref, out_ref, attn_ref, *,
-                      eps, scale, nH, lanes=False):
+                      eps, scale, nH, lanes=False, no_max=False):
     _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             wp_ref, bp_ref, out_ref, attn_ref,
             eps=eps, scale=scale, nH=nH, mask_ref=mask_ref, rs_ref=rs_ref,
-            lanes=lanes)
+            lanes=lanes, no_max=no_max)
 
 
 def _pad_to(n: int, to: int) -> int:
@@ -173,7 +175,8 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
 def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref, *,
                     eps: float, scale: float, G: int, hd: int, nG: int,
-                    mask_ref=None, rs_ref=None, lanes: bool = False):
+                    mask_ref=None, rs_ref=None, lanes: bool = False,
+                    no_max: bool = False):
     """Head-group-tiled fused half-block: grid (Bn//W, nG), g fastest.
 
     Per (i, g) program: the group's 3·gw-column stripe of the qkv
@@ -216,7 +219,8 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
             logits = logits + mask_ref[:].astype(jnp.float32)
         attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
             logits, v, attn_ref.dtype,
-            static_shift=130.0 if (lanes and mask_ref is not None) else 30.0)
+            static_shift=None if not no_max
+            else (130.0 if (lanes and mask_ref is not None) else 30.0))
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[0], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (W, N, C) partial
@@ -241,29 +245,33 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
 def _kernel_grouped_masked(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                            mask_ref, wp_ref, bp_ref, out_ref, xn_ref,
                            attn_ref, acc_ref, *, eps, scale, G, hd, nG,
-                           lanes=False):
+                           lanes=False, no_max=False):
     _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
                     eps=eps, scale=scale, G=G, hd=hd, nG=nG,
-                    mask_ref=mask_ref, lanes=lanes)
+                    mask_ref=mask_ref, lanes=lanes, no_max=no_max)
 
 
 def _kernel_grouped_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                        wp_ref, bp_ref, rs_ref, out_ref, xn_ref,
-                       attn_ref, acc_ref, *, eps, scale, G, hd, nG):
+                       attn_ref, acc_ref, *, eps, scale, G, hd, nG,
+                       no_max=False):
     _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
-                    eps=eps, scale=scale, G=G, hd=hd, nG=nG, rs_ref=rs_ref)
+                    eps=eps, scale=scale, G=G, hd=hd, nG=nG, rs_ref=rs_ref,
+                    no_max=no_max)
 
 
 def _kernel_grouped_masked_rs(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref,
                               bias_ref, mask_ref, wp_ref, bp_ref, rs_ref,
                               out_ref, xn_ref, attn_ref, acc_ref, *,
-                              eps, scale, G, hd, nG, lanes=False):
+                              eps, scale, G, hd, nG, lanes=False,
+                              no_max=False):
     _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
                     wp_ref, bp_ref, out_ref, xn_ref, attn_ref, acc_ref,
                     eps=eps, scale=scale, G=G, hd=hd, nG=nG,
-                    mask_ref=mask_ref, rs_ref=rs_ref, lanes=lanes)
+                    mask_ref=mask_ref, rs_ref=rs_ref, lanes=lanes,
+                    no_max=no_max)
 
 
 def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
@@ -313,7 +321,7 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
 
 
 def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
-                     wproj, bproj, row_scale, scale, eps):
+                     wproj, bproj, row_scale, scale, eps, no_max=False):
     """Grouped-grid path; returns None when no (W, G) fits."""
     Bn, N, C = x.shape
     nH = bias.shape[0]
@@ -362,7 +370,7 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
         bytes_accessed=2 * Bn * N * C * x.dtype.itemsize,
         transcendentals=Bn * nH * N * N,
     )
-    kwargs = dict(eps=eps, scale=scale, G=G, hd=hd, nG=nG)
+    kwargs = dict(eps=eps, scale=scale, G=G, hd=hd, nG=nG, no_max=no_max)
     tail_args = [wproj_g, bproj.astype(f32).reshape(1, C)]
     if row_scale is not None:
         tail_in.append(pl.BlockSpec((W, 1, 1), lambda i, g: (i, 0, 0),
@@ -435,7 +443,7 @@ def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
 
 
 def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
-             row_scale, scale, eps):
+             row_scale, scale, eps, no_max=False):
     Bn, N, C = x.shape
     nH = bias.shape[0]
     use_pallas = _is_tpu() or _FORCE_PALLAS
@@ -448,7 +456,8 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
             # all-heads bias busts VMEM (Swin-B stages 2-3 at N=392):
             # tile the grid over head groups before giving up
             out = _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias,
-                                   mask, wproj, bproj, row_scale, scale, eps)
+                                   mask, wproj, bproj, row_scale, scale, eps,
+                                   no_max=no_max)
             if out is not None:
                 return out
         return _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
@@ -482,7 +491,8 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     if mask is None:
         kern = _kernel_rs if row_scale is not None else _kernel
         return pl.pallas_call(
-            functools.partial(kern, eps=eps, scale=scale, nH=nH),
+            functools.partial(kern, eps=eps, scale=scale, nH=nH,
+                              no_max=no_max),
             grid=(Bn // W,),
             in_specs=common_in + tail_in,
             out_specs=x_spec,
@@ -498,7 +508,8 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
                              memory_space=pltpu.VMEM)
     kern = _kernel_masked_rs if row_scale is not None else _kernel_masked
     return pl.pallas_call(
-        functools.partial(kern, eps=eps, scale=scale, nH=nH, lanes=lanes),
+        functools.partial(kern, eps=eps, scale=scale, nH=nH, lanes=lanes,
+                          no_max=no_max),
         grid=(Bn // W,),
         in_specs=common_in + [mask_spec] + tail_in,
         out_specs=x_spec,
@@ -509,21 +520,22 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     )(*args, mask.astype(x.dtype), *tail_args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def fused_window_attn_block(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
                             wproj, bproj, row_scale=None,
-                            scale: float = 1.0, eps: float = 1e-5):
+                            scale: float = 1.0, eps: float = 1e-5,
+                            no_max: bool = False):
     """x + row_scale * proj(window_attention(LN(x))) over partitioned
     windows (Bn, N, C); row_scale is the optional per-window DropPath
     factor (keep/keep_prob), None = 1. See module docstring."""
     return _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj,
-                    bproj, row_scale, scale, eps)
+                    bproj, row_scale, scale, eps, no_max=no_max)
 
 
 def _fwd(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
-         row_scale, scale, eps):
+         row_scale, scale, eps, no_max=False):
     out = _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj,
-                   bproj, row_scale, scale, eps)
+                   bproj, row_scale, scale, eps, no_max=no_max)
     return out, (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
                  row_scale)
 
@@ -561,7 +573,8 @@ def _composed_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
     return (x32 + y).astype(x.dtype)
 
 
-def _bwd(scale, eps, residuals, g):
+def _bwd(scale, eps, no_max, residuals, g):
+    # recompute uses the true row max — same softmax, exact gradients
     (x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
      row_scale) = residuals
     diff = [x, ln_scale, ln_bias, wqkv, bqkv, bias]

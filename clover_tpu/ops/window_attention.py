@@ -498,14 +498,26 @@ def _vmem_softmax(logits, out_dtype):
 # (parity-tested vs the XLA reference).
 _FUSED_SUM = _os.environ.get("CLOVER_WA_FUSED_SUM", "1") != "0"
 
-# Static-shift softmax experiment (CLOVER_WA_NO_MAX=1, default off): skip
-# the row-max reduce pass and compute exp(logits - static_shift) with a
-# shift chosen per kernel call (130 when +100 region lanes ride the
-# logits, 30 otherwise). SAFE ONLY under a bounded-logit assumption
-# |q·kᵀ·scale + bias| <= ~55: the bf16 exp underflows at arg ~ -88 (an
-# all-underflow row would produce 0/0 = NaN) and overflows at ~ +88.
-# Softmax with a true row max has neither failure mode — hence opt-in.
-_NO_MAX = _os.environ.get("CLOVER_WA_NO_MAX", "0") != "0"
+# Static-shift softmax (CLOVER_WA_NO_MAX, default 'auto'): skip the
+# row-max reduce pass and compute exp(logits - static_shift) with a shift
+# chosen per kernel call (130 when +100 region lanes ride the logits, 30
+# otherwise). exp(x-s)/sum(exp(x-s)) == exp(x-m)/sum(exp(x-m)) exactly in
+# real arithmetic — only fp rounding of the common scale differs. SAFE
+# ONLY under a bounded-logit assumption |q·kᵀ·scale + bias| <= ~55: exp
+# underflows at arg ~ -88 (an all-underflow row gives 0/0 = NaN) and
+# overflows at ~ +88; the true row max has neither failure mode. 'auto'
+# therefore enables it on DETERMINISTIC (eval) passes only — trained
+# checkpoints have bounded logits, while mid-training logits can drift —
+# '1' forces it everywhere, '0' disables. Measured: 8-frame eval
+# 520 -> 591 clips/s (+13.7%), 32-frame 138.4 -> 143.5 (+3.7%).
+_NO_MAX_MODE = _os.environ.get("CLOVER_WA_NO_MAX", "auto")
+
+
+def no_max_enabled(deterministic: bool) -> bool:
+    """Should this pass skip the row-max (static-shift softmax)?"""
+    if _NO_MAX_MODE == "auto":
+        return deterministic
+    return _NO_MAX_MODE != "0"
 
 # Region-lanes shift mask: mask = -100*(1 - delta_same_region) and
 # delta = R·Rᵀ for a per-window region one-hot R (<= 8 columns). Appending
@@ -549,9 +561,8 @@ def _softmax_pv(logits, v, out_dtype, static_shift=None):
             probs, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         return o.astype(out_dtype)
-    if _NO_MAX and static_shift is not None:
-        m = jnp.float32(static_shift)
-        e = jnp.exp(logits - m).astype(v.dtype)
+    if static_shift is not None:
+        e = jnp.exp(logits - jnp.float32(static_shift)).astype(v.dtype)
     else:
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m).astype(v.dtype)
@@ -564,7 +575,8 @@ def _softmax_pv(logits, v, out_dtype, static_shift=None):
             * jax.lax.reciprocal(o[:, :, hd:])).astype(out_dtype)
 
 
-def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
+def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd,
+                      no_max=False):
     C = nH * hd
     sc = qkv_ref.dtype.type(scale)
     for h in range(nH):                              # static offsets
@@ -578,12 +590,12 @@ def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd):
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # (W, N, N) f32 acc
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
-                             scale, nH, hd):
+                             scale, nH, hd, no_max=False):
     C = nH * hd
     sc = qkv_ref.dtype.type(scale)
     for h in range(nH):
@@ -595,12 +607,12 @@ def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_lanes(qkv_ref, bias_ref, r_ref, out_ref, *,
-                            scale, nH, hd):
+                            scale, nH, hd, no_max=False):
     """Flat kernel, shift mask as region lanes: r_ref (W, N, nr) carries
     0/10 one-hots; concatenating them onto the q and k head slices makes
     the QK^T dot emit logits + 100·same-region — the mask add pass and its
@@ -619,12 +631,12 @@ def _attn_kernel_flat_lanes(qkv_ref, bias_ref, r_ref, out_ref, *,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0 if no_max else None)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
-                              scale, G, hd):
+                              scale, G, hd, no_max=False):
     """Head-GROUP tile of the flat kernel: this program sees only G heads'
     q/k/v lane slices and bias rows, so the VMEM-resident bias shrinks
     nH/G-fold — what lets 32-frame stages 2-3 (nH=16/32, N=392) run fused
@@ -638,12 +650,12 @@ def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
-                                     out_ref, *, scale, G, hd):
+                                     out_ref, *, scale, G, hd, no_max=False):
     sc = q_ref.dtype.type(scale)
     for h in range(G):
         q = q_ref[:, :, h * hd:(h + 1) * hd] * sc
@@ -654,12 +666,12 @@ def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
 def _attn_kernel_flat_grouped_lanes(q_ref, k_ref, v_ref, bias_ref, r_ref,
-                                    out_ref, *, scale, G, hd):
+                                    out_ref, *, scale, G, hd, no_max=False):
     """Grouped kernel with the shift mask as region lanes (see
     _attn_kernel_flat_lanes)."""
     sc = q_ref.dtype.type(scale)
@@ -674,7 +686,7 @@ def _attn_kernel_flat_grouped_lanes(q_ref, k_ref, v_ref, bias_ref, r_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0)
+        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0 if no_max else None)
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -771,7 +783,7 @@ def _pick_group_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
     return 0, 0
 
 
-def _forward_flat_grouped(qkv, bias, mask, scale, num_heads):
+def _forward_flat_grouped(qkv, bias, mask, scale, num_heads, no_max=False):
     """Head-group-tiled flat kernel: grid (Bn//W, nH//G); q/k/v are three
     lane-sliced BlockSpec views of the SAME flat qkv array (contiguous
     G*hd-column stripes at offsets 0 / C / 2C), so no relayout happens in
@@ -808,7 +820,7 @@ def _forward_flat_grouped(qkv, bias, mask, scale, num_heads):
         + num_heads * N * N * qkv.dtype.itemsize,
         transcendentals=Bn * num_heads * N * N,
     )
-    kwargs = dict(scale=scale, G=G, hd=hd)
+    kwargs = dict(scale=scale, G=G, hd=hd, no_max=no_max)
     if mask is None:
         return pl.pallas_call(
             functools.partial(_attn_kernel_flat_grouped, **kwargs),
@@ -845,7 +857,7 @@ def _forward_flat_grouped(qkv, bias, mask, scale, num_heads):
     )(qkv, qkv, qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
 
 
-def _forward_flat(qkv, bias, mask, scale, num_heads):
+def _forward_flat(qkv, bias, mask, scale, num_heads, no_max=False):
     """qkv (Bn, N, 3C) -> (Bn, N, C); bias (nH, N, N); mask (nW, N, N)|None.
     bias/mask are cast to qkv.dtype for the VMEM-resident blocks."""
     Bn, N, threeC = qkv.shape
@@ -860,7 +872,8 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
     if W == 0:
         # all-heads bias block busts VMEM (32-frame stages 2-3): tile the
         # grid over head GROUPS before giving up on the fused path
-        out = _forward_flat_grouped(qkv, bias, mask, scale, num_heads)
+        out = _forward_flat_grouped(qkv, bias, mask, scale, num_heads,
+                                    no_max=no_max)
         if out is not None:
             return out
         if not lanes:  # flash variants take the additive mask only
@@ -886,7 +899,7 @@ def _forward_flat(qkv, bias, mask, scale, num_heads):
         + num_heads * N * N * qkv.dtype.itemsize,
         transcendentals=Bn * num_heads * N * N,
     )
-    kwargs = dict(scale=scale, nH=num_heads, hd=hd)
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, no_max=no_max)
     if mask is None:
         return pl.pallas_call(
             functools.partial(_attn_kernel_flat, **kwargs),
@@ -1681,8 +1694,8 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
     )(qkv, bias.astype(dt), g, mask.astype(dt))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flat_window_attention(qkv, bias, mask, scale, num_heads):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flat_window_attention(qkv, bias, mask, scale, num_heads, no_max=False):
     """softmax(q·kᵀ·scale + bias (+mask)) · v from FLAT qkv (Bn, N, 3C).
 
     Head slicing happens in VMEM; logits never touch HBM; dots run in the
@@ -1701,14 +1714,17 @@ def flat_window_attention(qkv, bias, mask, scale, num_heads):
     gradients; use the XLA reference path (CLOVER_ATTN=xla) if you need
     mask differentiability.
     """
-    return _forward_flat(qkv, bias, mask, scale, num_heads)
+    return _forward_flat(qkv, bias, mask, scale, num_heads, no_max=no_max)
 
 
-def _flat_fwd(qkv, bias, mask, scale, num_heads):
-    return _forward_flat(qkv, bias, mask, scale, num_heads), (qkv, bias, mask)
+def _flat_fwd(qkv, bias, mask, scale, num_heads, no_max=False):
+    return (_forward_flat(qkv, bias, mask, scale, num_heads, no_max=no_max),
+            (qkv, bias, mask))
 
 
-def _flat_bwd(scale, num_heads, residuals, g):
+def _flat_bwd(scale, num_heads, no_max, residuals, g):
+    # the bwd recompute always uses the true row max — mathematically the
+    # same softmax, so gradients are exact for the no-max forward too
     qkv, bias, mask = residuals
     if _BWD_KERNEL:
         out = _backward_flat(qkv, bias, mask, scale, num_heads,

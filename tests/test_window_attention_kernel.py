@@ -461,3 +461,34 @@ def test_attn_block_lanes_matches_additive(rng, monkeypatch):
                                        wp, bp, None, scale)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_no_max_static_shift_softmax(rng, monkeypatch):
+    """Static-shift softmax (skip row max): exp(x-s)/sum == exp(x-m)/sum in
+    real arithmetic — outputs must match the rowmax path to rounding, for
+    lanes, additive-mask, and unmasked kernels."""
+    import clover_tpu.ops.window_attention as wa
+
+    mask, lanes = _real_geometry()
+    nW, N = mask.shape[:2]
+    nH, hd = 2, 16
+    C = nH * hd
+    Bn = 2 * nW
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    scale = hd ** -0.5
+    for m in (None, mask, lanes):
+        exact = wa.flat_window_attention(qkv, bias, m, scale, nH, False)
+        fast = wa.flat_window_attention(qkv, bias, m, scale, nH, True)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   atol=2e-5,
+                                   err_msg=f"mask={'None' if m is None else m.shape}")
+
+    # 'auto' mode gates on deterministic: eval passes skip the max,
+    # training keeps the exact row max (unbounded-logit safety)
+    monkeypatch.setattr(wa, "_NO_MAX_MODE", "auto")
+    assert wa.no_max_enabled(True) and not wa.no_max_enabled(False)
+    monkeypatch.setattr(wa, "_NO_MAX_MODE", "0")
+    assert not wa.no_max_enabled(True)
+    monkeypatch.setattr(wa, "_NO_MAX_MODE", "1")
+    assert wa.no_max_enabled(False)
