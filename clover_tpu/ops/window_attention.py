@@ -562,10 +562,16 @@ def _softmax_pv(logits, v, out_dtype, static_shift=None):
             preferred_element_type=jnp.float32)
         return o.astype(out_dtype)
     if static_shift is not None:
-        e = jnp.exp(logits - jnp.float32(static_shift)).astype(v.dtype)
+        arg = logits - jnp.float32(static_shift)
     else:
         m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m).astype(v.dtype)
+        arg = logits - m
+    if _EXP_BF16 and v.dtype == jnp.bfloat16:
+        # packed-bf16 exp runs 2 lanes/cycle; after the shift the argument
+        # is <= 0 where bf16's relative error on exp is ~0.4%/weight
+        e = jnp.exp(arg.astype(jnp.bfloat16))
+    else:
+        e = jnp.exp(arg).astype(v.dtype)
     v1 = jnp.concatenate(
         [v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
     o = jax.lax.dot_general(
@@ -1508,7 +1514,12 @@ def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
                     + G * Np_s * Np_l * 4                   # dbias resident
                     + 2 * G * Np_s * Np_l * itemsize        # bias x2
                     + mask_need
-                    + 3 * w * Np_s * Np_l * 4)              # e/dp/dlog f32
+                    + 3 * w * Np_s * Np_l * 4               # e/dp/dlog f32
+                    # p + dlog_b bf16 casts: omitting these under-counted
+                    # the Mosaic stack — (W=2, G=4) at Swin-B stage 2
+                    # N=392 estimated 14.0 MB but hit 16.69 MB scoped vmem
+                    # (16 MB compiler limit) on 32-frame train
+                    + 2 * w * Np_s * Np_l * itemsize)
             if need <= _FLAT_VMEM_BUDGET:
                 return w, G
     return 0, 0
@@ -1622,6 +1633,13 @@ def _pick_window_block_bwd(Bn: int, nH: int, N: int, hd: int,
 
 
 _BWD_KERNEL = _os.environ.get("CLOVER_WA_BWD", "1") == "1"
+# Lanes in the BACKWARD kernels are gated to short windows: at N=392 the
+# grouped bwd's scoped-vmem stack is already at the 16 MB compiler limit
+# and the lanes concat temporaries push it 708 KB over (Mosaic OOM at
+# Swin-B stage 2, 32-frame train). Long-window bwd converts lanes back to
+# the additive mask (one trace-time einsum) — the proven-compiling
+# pre-lanes kernel. Forward keeps lanes at every N.
+_BWD_LANES_MAX_N = int(_os.environ.get("CLOVER_WA_BWD_LANES_MAX_N", "256"))
 
 
 def _backward_flat(qkv, bias, mask, scale, num_heads, g):
@@ -1629,6 +1647,8 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
     Bn, N, threeC = qkv.shape
     C = threeC // 3
     hd = C // num_heads
+    if _is_lanes(mask) and N > _BWD_LANES_MAX_N:
+        mask = lanes_to_additive(mask)
     nW = None if mask is None else mask.shape[0]
     lanes = _is_lanes(mask)
     nr = mask.shape[-1] if lanes else None
