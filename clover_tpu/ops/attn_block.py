@@ -127,6 +127,10 @@ import os as _os
 
 _BLOCK_VMEM_BUDGET = int(
     _os.environ.get("CLOVER_AB_VMEM_MB", "20")) * 2 ** 20
+# head-group width preference for the grouped fused block: the picker
+# sorts G by |G*hd - target| (measured at the 32-frame eval shape:
+# target 192 -> G=8 at stages 2-3; sweep knob)
+_GW_TARGET = int(_os.environ.get("CLOVER_AB_GW_TARGET", "192"))
 
 
 def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
@@ -288,7 +292,7 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     Cp = _pad_to(C, 128)
     groups = [g for g in (16, 8, 4, 2, 1) if nH % g == 0 and g < nH]
-    groups.sort(key=lambda g: (abs(g * hd - 192), -g))
+    groups.sort(key=lambda g: (abs(g * hd - _GW_TARGET), -g))
     for G in groups:
         gw = G * hd
         g3p = _pad_to(3 * gw, 128)
