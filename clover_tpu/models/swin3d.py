@@ -235,6 +235,12 @@ def shift_region_lanes(
     nW, N = wins.shape
     uniqs = [np.unique(w) for w in wins]
     nr = max(len(u) for u in uniqs)
+    if nr >= N:
+        # degenerate tiny windows (e.g. N=8 with 8 distinct regions): the
+        # lanes form is shape-ambiguous with the additive (nW, N, N) mask
+        # and saves nothing — return the additive form, which every
+        # consumer accepts
+        return shift_attn_mask(padded_size, window, shift)
     lanes = np.zeros((nW, N, nr), np.float32)
     for w, u in enumerate(uniqs):
         for j, rid in enumerate(u):

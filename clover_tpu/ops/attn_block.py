@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clover_tpu.ops.window_attention import _softmax_pv
+from clover_tpu.ops.window_attention import (_is_lanes, _mask_block_need,
+                                             _softmax_pv)
 
 
 def _is_tpu() -> bool:
@@ -157,13 +158,7 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
             continue
         if nW is not None and (w > nW or nW % w):
             continue
-        if nr is not None:
-            mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
-                         + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
-        elif nW is not None:
-            mask_need = w * Np_s * Np_l * (2 * itemsize + 4)  # x2 + f32 copy
-        else:
-            mask_need = 0
+        mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize, nW, nr)
         act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buffers
                + w * Np_s * Cp * 4                  # x fp32
                + w * Np_s * Cp * itemsize           # xn
@@ -306,13 +301,8 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
                 continue
             if nW is not None and (w > nW or nW % w):
                 continue
-            if nr is not None:
-                mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
-                             + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
-            elif nW is not None:
-                mask_need = w * Np_s * Np_l * (2 * itemsize + 4)
-            else:
-                mask_need = 0
+            mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize,
+                                         nW, nr)
             act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buf
                    + w * Np_s * Cp * (itemsize + 4)     # xn + acc scratch
                    + w * Np_s * g3p * (4 + itemsize)    # qkv fp32 + cast
@@ -331,7 +321,7 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
     nH = bias.shape[0]
     hd = C // nH
     nW = None if mask is None else mask.shape[0]
-    lanes = mask is not None and mask.shape[-1] != mask.shape[-2]
+    lanes = _is_lanes(mask)
     nr = mask.shape[-1] if lanes else None
     W, G = _pick_wg(Bn, nH, N, C, x.dtype.itemsize, nW, nr=nr)
     if W == 0:
@@ -412,7 +402,7 @@ def _forward_grouped(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
 
 def _xla_reference(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask,
                    wproj, bproj, scale, eps, row_scale=None):
-    if mask is not None and mask.shape[-1] != mask.shape[-2]:
+    if _is_lanes(mask):
         # region-lanes form -> classic additive mask (see window_attention)
         from clover_tpu.ops.window_attention import lanes_to_additive
 
@@ -452,7 +442,7 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
     nH = bias.shape[0]
     use_pallas = _is_tpu() or _FORCE_PALLAS
     nW = None if mask is None else mask.shape[0]
-    lanes = mask is not None and mask.shape[-1] != mask.shape[-2]
+    lanes = _is_lanes(mask)
     nr = mask.shape[-1] if lanes else None
     W = _pick_w(Bn, nH, N, C, x.dtype.itemsize, nW, nr=nr) if use_pallas else 0
     if W == 0:

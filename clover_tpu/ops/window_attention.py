@@ -457,6 +457,23 @@ spatial_window_attention.defvjp(_spatial_fwd, _spatial_bwd)
 # block fits VMEM up to stage 4 of Swin-B.
 
 
+
+def _mask_block_need(w: int, Np_s: int, Np_l: int, hd: int, itemsize: int,
+                     nW, nr, *, f32_copy: bool = True) -> int:
+    """VMEM bytes for the shift-mask blocks of one program: region lanes
+    ((W, N, nr) x2 + the two (W, N, hd+nr) concat temporaries) when nr is
+    set, else the classic additive (W, N, N) block x2 (+ its f32 copy on
+    forward paths). Shared by every picker so the estimates stay in
+    lockstep (divergence here caused a real scoped-vmem compile OOM)."""
+    if nr is not None:
+        return (2 * w * Np_s * _pad_to(nr, 128) * itemsize
+                + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
+    if nW is not None:
+        return (2 * w * Np_s * Np_l * itemsize
+                + (w * Np_s * Np_l * 4 if f32_copy else 0))
+    return 0
+
+
 import os as _os
 
 # bf16 exp experiment: the (W, N, N) exp is the kernel's largest VPU pass;
@@ -562,7 +579,16 @@ def _softmax_pv(logits, v, out_dtype, static_shift=None):
             preferred_element_type=jnp.float32)
         return o.astype(out_dtype)
     if static_shift is not None:
-        arg = logits - jnp.float32(static_shift)
+        # low-side clamp: if a whole row's live logits drifted below the
+        # exp underflow point the row would sum to 0 -> 0/0 NaN; clamping
+        # at -80 turns that tail case into near-uniform attention instead
+        # (e^-80 ~ 2e-35 is normal in bf16 and far below any live weight,
+        # and for lanes blocks the off-region entries stay >= e^50-fold
+        # suppressed unless the row max itself is ~-50). The high side is
+        # covered by the shift (see _NO_MAX_MODE contract). One VPU max
+        # per logit, fused into the exp pass — measured free.
+        arg = jnp.maximum(logits - jnp.float32(static_shift),
+                          jnp.float32(-80.0))
     else:
         m = jnp.max(logits, axis=-1, keepdims=True)
         arg = logits - m
@@ -730,14 +756,7 @@ def _pick_window_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
             continue
         if nW is not None and (w > nW or nW % w):
             continue
-        if nr is not None:
-            mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
-                         + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
-        elif nW is not None:
-            mask_need = (2 * w * Np_s * Np_l * itemsize     # mask block x2
-                         + w * Np_s * Np_l * 4)             # mask f32 copy
-        else:
-            mask_need = 0
+        mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize, nW, nr)
         need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize   # qkv x2
                 + 2 * w * Np_s * _pad_to(C, 128) * itemsize     # out x2
                 + 2 * nH * Np_s * Np_l * itemsize               # bias x2
@@ -770,14 +789,8 @@ def _pick_group_block_flat(Bn: int, nH: int, N: int, hd: int, itemsize: int,
                 continue
             if nW is not None and (w > nW or nW % w):
                 continue
-            if nr is not None:
-                mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
-                             + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
-            elif nW is not None:
-                mask_need = (2 * w * Np_s * Np_l * itemsize
-                             + w * Np_s * Np_l * 4)
-            else:
-                mask_need = 0
+            mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize,
+                                         nW, nr)
             need = (3 * 2 * w * Np_s * gl * itemsize        # q,k,v x2
                     + 2 * w * Np_s * gl * itemsize          # out x2
                     + 2 * G * Np_s * Np_l * itemsize        # bias x2
@@ -1501,14 +1514,8 @@ def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
                 continue
             if nW is not None and (w > nW or nW % w):
                 continue
-            if nr is not None:
-                mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
-                             + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
-            elif nW is not None:
-                mask_need = (2 * w * Np_s * Np_l * itemsize
-                             + w * Np_s * Np_l * 4)
-            else:
-                mask_need = 0
+            mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize,
+                                         nW, nr)
             need = (4 * 2 * w * Np_s * gl * itemsize        # q,k,v,g x2
                     + 3 * 2 * w * Np_s * gl * itemsize      # dq,dk,dv x2
                     + G * Np_s * Np_l * 4                   # dbias resident
@@ -1613,20 +1620,18 @@ def _pick_window_block_bwd(Bn: int, nH: int, N: int, hd: int,
             continue
         if nW is not None and (w > nW or nW % w):
             continue
-        if nr is not None:
-            mask_need = (2 * w * Np_s * _pad_to(nr, 128) * itemsize
-                         + 2 * w * Np_s * _pad_to(hd + nr, 128) * itemsize)
-        elif nW is not None:
-            mask_need = 2 * w * Np_s * Np_l * itemsize
-        else:
-            mask_need = 0
+        mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize, nW, nr,
+                                     f32_copy=False)
         need = (2 * w * Np_s * _pad_to(3 * C, 128) * itemsize   # qkv x2
                 + 2 * w * Np_s * _pad_to(C, 128) * itemsize     # g x2
                 + 2 * w * Np_s * _pad_to(3 * C, 128) * itemsize  # dqkv x2
                 + nH * Np_s * Np_l * 4                          # dbias res.
                 + 2 * nH * Np_s * Np_l * itemsize               # bias x2
                 + mask_need
-                + 3 * w * Np_s * Np_l * 4)      # logits/p32 + dp + dlog f32
+                + 3 * w * Np_s * Np_l * 4       # logits/p32 + dp + dlog f32
+                # p + dlog_b bf16 casts, same undercount the grouped
+                # picker hit (scoped-vmem OOM at the 16 MB limit)
+                + 2 * w * Np_s * Np_l * itemsize)
         if need <= _FLAT_VMEM_BUDGET:
             return w
     return 0

@@ -113,7 +113,9 @@ class MoEFeedForward(nn.Module):
         B, S, D = x.shape
         E, H = self.num_experts, self.d_hidden
         T = B * S
-        C = int(np.ceil(T / E * self.capacity_factor))
+        # GShard convention: expected assignments per expert under uniform
+        # routing is top_k*T/E, so capacity must scale with top_k
+        C = int(np.ceil(self.top_k * T / E * self.capacity_factor))
         xt = x.reshape(T, D)
 
         router = dense(E, dtype=jnp.float32, use_bias=False,

@@ -63,7 +63,7 @@ def test_moe_matches_token_loop(rng, top_k):
     x = jnp.asarray(rng.normal(size=(B, S, D)).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), x)
     y, aux = model.apply(variables, x)
-    C = int(np.ceil(B * S / E * 0.75))
+    C = int(np.ceil(top_k * B * S / E * 0.75))
     ref = _loop_reference(variables["params"], x, top_k, C)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4, rtol=1e-4)
     assert np.isfinite(float(aux)) and float(aux) > 0

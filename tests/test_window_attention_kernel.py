@@ -492,3 +492,30 @@ def test_no_max_static_shift_softmax(rng, monkeypatch):
     assert not wa.no_max_enabled(True)
     monkeypatch.setattr(wa, "_NO_MAX_MODE", "1")
     assert wa.no_max_enabled(False)
+
+
+def test_region_lanes_degenerate_window_falls_back_to_additive(rng):
+    """nr == N would be shape-ambiguous with the additive form; the
+    builder must return the additive mask, and a backbone with such tiny
+    windows must still match the XLA path."""
+    from clover_tpu.models.swin3d import shift_attn_mask, shift_region_lanes
+
+    size, win, shift = (4, 4, 4), (2, 2, 2), (1, 1, 1)
+    lanes = shift_region_lanes(size, win, shift)
+    mask = shift_attn_mask(size, win, shift)
+    assert lanes.shape == mask.shape          # additive fallback
+    np.testing.assert_allclose(lanes, mask)
+
+    import dataclasses
+
+    cfg_flat = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2),
+                          embed_dim=8, depths=(2,), num_heads=(2,),
+                          window_size=(2, 2, 2), drop_path_rate=0.0,
+                          attention_impl="pallas_flat")
+    cfg_xla = dataclasses.replace(cfg_flat, attention_impl="xla")
+    x = jnp.asarray(rng.normal(size=(1, 3, 4, 8, 8)).astype(np.float32))
+    m_flat, m_xla = SwinTransformer3D(cfg_flat), SwinTransformer3D(cfg_xla)
+    p = m_flat.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(m_flat.apply(p, x)),
+                               np.asarray(m_xla.apply(p, x)),
+                               atol=5e-4)
