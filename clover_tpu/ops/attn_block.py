@@ -126,12 +126,39 @@ def _pad_to(n: int, to: int) -> int:
 
 import os as _os
 
-_BLOCK_VMEM_BUDGET = int(
-    _os.environ.get("CLOVER_AB_VMEM_MB", "20")) * 2 ** 20
+def _env_stage_table(name: str, default: int) -> dict:
+    """Parse a knob that may be global ("20") or per-stage keyed by head
+    count ("20,nh16:16,nh32:24" — nH identifies the Swin stage and is an
+    argument of every picker). The 32-frame eval profile shows stage 2
+    (nH=16, 18 blocks) is half the device time, so its kernel parameters
+    deserve their own tuning point."""
+    table = {}
+    for part in _os.environ.get(name, str(default)).split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" in part:
+            k, v = part.split(":")
+            table[int(k.strip().lstrip("nh"))] = int(v)
+        else:
+            table[None] = int(part)
+    table.setdefault(None, default)
+    return table
+
+
+_BLOCK_VMEM_TABLE = _env_stage_table("CLOVER_AB_VMEM_MB", 20)
 # head-group width preference for the grouped fused block: the picker
 # sorts G by |G*hd - target| (measured at the 32-frame eval shape:
 # target 192 -> G=8 at stages 2-3; sweep knob)
-_GW_TARGET = int(_os.environ.get("CLOVER_AB_GW_TARGET", "192"))
+_GW_TABLE = _env_stage_table("CLOVER_AB_GW_TARGET", 192)
+
+
+def _block_vmem_budget(nH: int) -> int:
+    return _BLOCK_VMEM_TABLE.get(nH, _BLOCK_VMEM_TABLE[None]) * 2 ** 20
+
+
+def _gw_target(nH: int) -> int:
+    return _GW_TABLE.get(nH, _GW_TABLE[None])
 
 
 def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
@@ -144,7 +171,7 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
     ``nr``: mask rides as (W, N, nr) region lanes + two (W, N, hd+nr)
     concat temporaries instead of the (W, N, N) additive block."""
     if budget is None:
-        budget = _BLOCK_VMEM_BUDGET
+        budget = _block_vmem_budget(nH)
     hd = C // nH
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     Cp = _pad_to(C, 128)
@@ -282,12 +309,12 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
     acc-revisit overhead), then the largest W under the budget. ``nr``:
     mask rides as region lanes (see _pick_w)."""
     if budget is None:
-        budget = _BLOCK_VMEM_BUDGET
+        budget = _block_vmem_budget(nH)
     hd = C // nH
     Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
     Cp = _pad_to(C, 128)
     groups = [g for g in (16, 8, 4, 2, 1) if nH % g == 0 and g < nH]
-    groups.sort(key=lambda g: (abs(g * hd - _GW_TARGET), -g))
+    groups.sort(key=lambda g: (abs(g * hd - _gw_target(nH)), -g))
     for G in groups:
         gw = G * hd
         g3p = _pad_to(3 * gw, 128)
