@@ -25,6 +25,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# bf16 peak matmul throughput by device kind — for the mfu field only
+# (public spec sheets; None -> mfu omitted)
+_BF16_PEAK_TFLOPS = (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+                     ("v4", 275.0), ("v6", 918.0), ("v3", 123.0))
+
+
+def _flops_fields(jitted, args, dt_seconds, iters=1):
+    """achieved TFLOP/s + MFU from the compiled executable's own cost
+    analysis (exact for XLA ops; Pallas kernels report the true algebraic
+    flops via their CostEstimate). AOT lower+compile hits the compile
+    cache, so this is free after the timed run. XLA counts a while/scan
+    body ONCE regardless of trip count, and both benchmarks are exactly
+    one lax.scan over ``iters`` identical batches — so scale by iters
+    (verified: the raw count equals one batch's algebraic flops).
+    Returns {} if the backend doesn't expose cost analysis."""
+    import jax
+
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) * iters
+    except Exception:
+        return {}
+    if flops <= 0:
+        return {}
+    achieved = flops / dt_seconds / 1e12
+    fields = {"model_tflops_per_dispatch": round(flops / 1e12, 3),
+              "achieved_tflops_per_sec": round(achieved, 2)}
+    dev = str(jax.devices()[0]).lower()
+    for key, peak in _BF16_PEAK_TFLOPS:
+        if key in dev:
+            fields["mfu_bf16_peak"] = round(achieved / peak, 4)
+            break
+    return fields
+
 
 def bench_train():
     """Pretrain training-step throughput (clips/sec, fwd+bwd+AdamW)."""
@@ -126,6 +162,7 @@ def bench_train():
         "seconds": round(dt, 3),
         "attention_impl": ATTN,
         "device": str(jax.devices()[0]),
+        **_flops_fields(run_all, (state, batches, key), dt, iters=ITERS),
     }))
 
 
@@ -271,6 +308,8 @@ def main():
         "seconds": round(dt, 3),
         "attention_impl": ATTN,
         "device": str(jax.devices()[0]),
+        **_flops_fields(run_all, (params, frames_all, token_all, bias_cache),
+                        dt, iters=ITERS),
     }))
 
 

@@ -198,6 +198,24 @@ class CloverFinetune(nn.Module):
         B, T, H, W, C = feat.shape
         return feat.reshape(B, T, H * W, C)
 
+    def forward_video(self, imgs: jax.Array, bias_cache=None) -> jax.Array:
+        """Video tower only: (B[, n_clips], T, H, W, 3) -> (B, D) retrieval
+        embedding (serving entry point; multi-clip inputs average after the
+        backbone exactly like forward_test's clip handling)."""
+        B = imgs.shape[0]
+        imgs = imgs.reshape((-1,) + imgs.shape[-4:])
+        visual_feat = self._visual_feat(imgs, B, True, bias_cache)
+        return self.ssl_head.forward_vision(visual_feat, deterministic=True)
+
+    def forward_text(self, token_ids: jax.Array,
+                     input_mask: jax.Array) -> jax.Array:
+        """Text tower only: (B, L) ids/mask -> (B, D) retrieval embedding
+        (serving entry point)."""
+        text_hidden = self.text_backbone(token_ids, input_mask,
+                                         deterministic=True)
+        return self.ssl_head.forward_text(text_hidden, input_mask, token_ids,
+                                          deterministic=True)
+
     def itm_pair_score(
         self,
         visual_tokens: jax.Array,   # (B, T, S, C) cached backbone tokens
