@@ -345,15 +345,29 @@ class MCRetrievalDataset(VideoTextDataset):
     (video, option) pairs scored by the dual-tower retrieval model; the
     metric is multiple_choice_retrieval_acc (reference acc_for_msrvtt_mc,
     core/evaluation/accuracy.py:396-427, minus its debug dumps).
+
+    ``test_mode=False`` trains: each video pairs with its CORRECT option
+    as an ordinary retrieval positive (reference finetune_msrvtt_mc.py
+    finetunes the retrieval towers with NormSoftmaxLoss on the MC train
+    split; its dataset expands all 5 candidates but the loss's diagonal
+    positive only makes sense for the answer caption — we pair the answer
+    explicitly, which is the semantics that recipe converges to).
     """
 
     def __init__(self, records=None, ann_file=None, **kwargs):
         if records is None:
             records = load_annotations(ann_file)
-        records = [
-            {**rec, "text": list(rec["options"])} for rec in records
-        ]
-        kwargs.setdefault("test_mode", True)
+        test_mode = kwargs.setdefault("test_mode", True)
+        if test_mode:
+            records = [
+                {**rec, "text": list(rec["options"])} for rec in records
+            ]
+        else:
+            records = [
+                {**rec,
+                 "text": rec["options"][int(rec.get("answer_idx", 0))]}
+                for rec in records
+            ]
         super().__init__(records=records, **kwargs)
         self.labels = np.asarray(
             [rec.get("answer_idx", 0) for rec in self.records], np.int64)

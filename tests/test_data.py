@@ -268,6 +268,34 @@ def test_test_mode_expands_captions():
     assert len(ds.text_video_ids) == 5
 
 
+def test_mc_retrieval_dataset_train_and_test_modes(tok):
+    """test_mode expands all options per video; train mode pairs each
+    video with its CORRECT option (reference finetune_msrvtt_mc.py trains
+    the retrieval towers on the MC split)."""
+    from clover_tpu.data.datasets import MCRetrievalDataset
+
+    records = [
+        {"filename": f"v{i}.mp4",
+         "options": [f"option {j} video {i}" for j in range(5)],
+         "answer_idx": (i * 2) % 5}
+        for i in range(3)
+    ]
+    common = dict(tokenizer=tok, backend="synthetic",
+                  backend_kwargs={"height": 32, "width": 32},
+                  num_frames=2, canonical_size=32, test_canonical_size=32,
+                  max_length=12)
+    test_ds = MCRetrievalDataset(records=[dict(r) for r in records], **common)
+    assert len(test_ds) == 15 and list(test_ds.labels) == [0, 2, 4]
+    train_ds = MCRetrievalDataset(records=[dict(r) for r in records],
+                                  test_mode=False, **common)
+    assert len(train_ds) == 3
+    for i, rec in enumerate(train_ds.records):
+        assert rec["text"] == records[i]["options"][records[i]["answer_idx"]]
+    s = train_ds[1]
+    assert s["token_ids"].shape == (12,)
+    assert s["imgs"].shape[:2] == (1, 2)  # (n_clips, T, H, W, 3)
+
+
 def test_process_pool_loader_matches_thread_loader():
     """worker_type='process' yields identical batches (fork-inherited
     dataset, deterministic per-index rng)."""
