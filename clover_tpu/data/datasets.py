@@ -252,10 +252,15 @@ class VideoQADataset:
         frames = canonical_host_resize(
             self.backend.decode(full, inds), self.canonical_size)
 
-        question = rec["question"]
+        question = rec.get("question", "")
         if self.mode == "mc":
+            # question-less MC (LSMDC-MC: candidates are captions, not QA
+            # options — reference tokenizes each candidate alone,
+            # loading.py:399-401) encodes the option as the only text
             encs = [
-                self.tokenizer.encode(question, self.max_length, second_text=opt)
+                (self.tokenizer.encode(question, self.max_length,
+                                       second_text=opt)
+                 if question else self.tokenizer.encode(opt, self.max_length))
                 for opt in rec["options"]
             ]
             token_ids = np.stack([e["token_ids"] for e in encs])
@@ -363,9 +368,17 @@ class MCRetrievalDataset(VideoTextDataset):
                 {**rec, "text": list(rec["options"])} for rec in records
             ]
         else:
+            # train mode pairs the CORRECT option — a missing answer_idx
+            # would silently train on a distractor, so it is a hard error
+            # here (at test time a missing key only mislabels the metric)
+            for rec in records:
+                if "answer_idx" not in rec:
+                    raise KeyError(
+                        "MCRetrievalDataset(test_mode=False) requires "
+                        f"'answer_idx' on every record (missing for "
+                        f"{rec.get('filename')!r})")
             records = [
-                {**rec,
-                 "text": rec["options"][int(rec.get("answer_idx", 0))]}
+                {**rec, "text": rec["options"][int(rec["answer_idx"])]}
                 for rec in records
             ]
         super().__init__(records=records, **kwargs)

@@ -89,10 +89,13 @@ def export_retrieval_towers(
         swin_cfg = dataclasses.replace(swin_cfg, embed_impl="s2d")
         model = type(model)(dataclasses.replace(cfg, swin=swin_cfg),
                             dtype=model.dtype)
-    bias_cache = swin_bias_cache(
-        params["params"]["backbone"] if "params" in params else
-        params["backbone"],
-        swin_cfg, (frames, image_size, image_size))
+    if "params" not in params:
+        params = {"params": params}  # accept bare param trees
+    # jitted: the cache build is ~24 per-block gathers that would each be
+    # a separate dispatch otherwise (see swin3d.bias_cache_builder)
+    bias_cache = jax.jit(lambda p: swin_bias_cache(
+        p, swin_cfg, (frames, image_size, image_size)))(
+        params["params"]["backbone"])
 
     def video_fn(frames_u8):
         imgs = eval_preprocess(frames_u8, out_size=image_size,

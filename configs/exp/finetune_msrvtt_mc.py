@@ -22,7 +22,18 @@ data = dict(
         canonical_size=224,
         max_length=30,
     ),
+    val=dict(
+        type="MCRetrievalDataset",
+        ann_file=data_root + "/mc_test.jsonl",
+        data_prefix=data_root + "/videos",
+        backend="opencv",
+        num_frames=12,
+        test_num_frames=32,
+        test_canonical_size=224,
+        max_length=30,
+    ),
     train_loader=dict(batch_size=16, num_workers=16),
+    val_loader=dict(batch_size=32, num_workers=16),
 )
 
 optimizer = dict(lr=1.2e-5, weight_decay=0.01, betas=(0.9, 0.98),

@@ -295,6 +295,35 @@ def test_mc_retrieval_dataset_train_and_test_modes(tok):
     assert s["token_ids"].shape == (12,)
     assert s["imgs"].shape[:2] == (1, 2)  # (n_clips, T, H, W, 3)
 
+    # a train-mode record without answer_idx must be a hard error (silent
+    # default-0 would train on a distractor caption)
+    broken = [dict(r) for r in records]
+    del broken[1]["answer_idx"]
+    with pytest.raises(KeyError):
+        MCRetrievalDataset(records=broken, test_mode=False, **common)
+
+
+def test_videoqa_mc_without_question(tok):
+    """LSMDC-MC: candidates are captions, no question — each option is
+    encoded alone (reference loading.py:399-401 tokenizes the candidate
+    list directly)."""
+    from clover_tpu.data.datasets import VideoQADataset
+
+    records = [{"filename": "v0.mp4",
+                "options": ["the dog runs", "a cat jumps", "the park",
+                            "a happy dog", "cat runs quickly"],
+                "answer_idx": 3}]
+    ds = VideoQADataset(records=records, tokenizer=tok, backend="synthetic",
+                        backend_kwargs={"height": 32, "width": 32},
+                        num_frames=2, canonical_size=32, max_length=10,
+                        mode="mc")
+    s = ds[0]
+    assert s["token_ids"].shape == (5, 10) and int(s["label"]) == 3
+    # option-only encode: exactly one [SEP], segment ids all zero
+    row = s["token_ids"][0]
+    assert int((row == tok.sep_id).sum()) == 1
+    assert int(s["segment_ids"][0].max()) == 0
+
 
 def test_process_pool_loader_matches_thread_loader():
     """worker_type='process' yields identical batches (fork-inherited

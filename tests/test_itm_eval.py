@@ -100,3 +100,48 @@ def test_itm_retrieval_topk_matches_full_on_small_set(itm_model_setup):
         params, test_ds, loader.epoch(0), out_size=32, dtype=jnp.float32,
         top_k=5, pair_batch=8)   # top_k >= n_video -> identical pair set
     assert topk == full
+
+
+def test_mc_retrieval_eval_loop():
+    """run_mc_retrieval_eval end-to-end on a synthetic MC dataset: 5
+    candidates per video scored by tower similarity -> {'acc'} (the eval
+    tools/train.py wires for finetune_msrvtt_mc's val split)."""
+    from clover_tpu.data import BertTokenizer, build_test_vocab
+    from clover_tpu.data.datasets import MCRetrievalDataset
+    from clover_tpu.engine.eval_loop import run_mc_retrieval_eval
+    from clover_tpu.engine.steps import make_embed_eval_step
+
+    tok = BertTokenizer(build_test_vocab(
+        "the a dog cat runs jumps park option video".split()))
+    records = [{"filename": f"v{i}.mp4",
+                "options": [f"option {j} video {i}" for j in range(5)],
+                "answer_idx": i % 5} for i in range(4)]
+    ds = MCRetrievalDataset(
+        records=records, tokenizer=tok, backend="synthetic",
+        backend_kwargs={"height": 40, "width": 40}, num_frames=2,
+        canonical_size=40, test_canonical_size=40, max_length=10)
+    bert = BertConfig(vocab_size=len(tok.vocab), hidden_size=16,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      intermediate_size=32, hidden_dropout=0.0,
+                      attention_dropout=0.0)
+    swin = SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                      depths=(1, 1), num_heads=(2, 2), window_size=(2, 2, 2),
+                      drop_path_rate=0.0)
+    model = CloverFinetune(FinetuneConfig(
+        swin=swin, text_bert=bert,
+        fusion=FusionConfig(bert=bert, img_in_size=16, hidden_size=16),
+        task="retrieval", vts_embed_dim=16))
+    sample = ds[0]
+    imgs = eval_preprocess(jnp.asarray(sample["imgs"]), out_size=32,
+                           dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), imgs[None],
+        jnp.asarray(sample["token_ids"])[None],
+        jnp.asarray(sample["input_mask"])[None],
+        method="forward_test")["params"]
+    loader = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                        num_workers=0)
+    metrics = run_mc_retrieval_eval(
+        make_embed_eval_step(model), params, ds, loader.epoch(0),
+        out_size=32, dtype=jnp.float32)
+    assert set(metrics) == {"acc"} and 0.0 <= metrics["acc"] <= 1.0

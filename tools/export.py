@@ -33,7 +33,8 @@ def parse_args():
     ap.add_argument("--batch-sizes", default="1,8",
                     help="comma list; one artifact per batch size")
     ap.add_argument("--frames", type=int, default=None,
-                    help="clip length (default: config img frames or 8)")
+                    help="clip length (default: the config's test split "
+                         "test_num_frames/num_frames, else 8)")
     ap.add_argument("--text-len", type=int, default=30)
     ap.add_argument("--sim-candidates", type=int, default=1000)
     ap.add_argument("--platform", default=None,
@@ -63,7 +64,9 @@ def main():
     cfg = load_config(args.config, overrides=parse_cfg_options(args.cfg_options))
     model, _ = build_model(cfg.model)
     img_size = cfg.get("img_size", 224)
-    frames = args.frames or cfg.get("clip_len", 8)
+    test_ds_cfg = cfg.data.get("test", cfg.data.get("val", {})) if "data" in cfg else {}
+    frames = args.frames or test_ds_cfg.get(
+        "test_num_frames", test_ds_cfg.get("num_frames", 8))
     batch_sizes = [int(b) for b in args.batch_sizes.split(",") if b]
 
     init_imgs = jnp.zeros((1, 1, frames, img_size, img_size, 3), model.dtype)

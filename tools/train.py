@@ -299,7 +299,20 @@ def main():
         from clover_tpu.models.swin3d import bias_cache_builder
 
         swin_cache = bias_cache_builder(model.config.swin)
-        if is_pretrain or task == "retrieval":
+        if ((is_pretrain or task == "retrieval")
+                and cfg.model.get("eval_mode") == "mc_retrieval"):
+            # MC-as-retrieval val (finetune_msrvtt_mc.py): score the 5
+            # candidate captions per video, metric 'acc'
+            from clover_tpu.engine.eval_loop import run_mc_retrieval_eval
+
+            eval_step = make_embed_eval_step(model)
+
+            def eval_fn(params):
+                return run_mc_retrieval_eval(
+                    eval_step, params, val_ds, val_loader.epoch(0),
+                    out_size=img_size, dtype=compute_dtype,
+                    bias_cache=swin_cache)
+        elif is_pretrain or task == "retrieval":
             eval_step = make_embed_eval_step(model)
 
             def eval_fn(params):
