@@ -42,9 +42,12 @@ def _device_planes(pd):
 _CONTAINER_RX = re.compile(r"^%?(while|conditional|call)\b|^%?(while|conditional|call)\.")
 
 _CATEGORY_RULES = (
-    # async copy-start/done spans overlap compute; duration = start->done
-    # wait, so report separately rather than as real copy cost
-    ("async-copy (span)", re.compile(r"^%?copy-(start|done)", re.I)),
+    # async copy/slice-start/done spans overlap compute; duration =
+    # start->done wait, so report separately rather than as real copy cost
+    # (the train profile once showed a phantom 49% "copy" bucket that was
+    # 68k slice-start WAIT spans — the sync copies were ~12%)
+    ("async-copy (span)", re.compile(r"^%?(copy|slice|collective-permute)-"
+                                     r"(start|done)", re.I)),
     ("pallas", re.compile(r"pallas|custom-call|tpu_custom_call|mosaic", re.I)),
     ("matmul (dot/conv)", re.compile(r"^%?(dot|convolution|conv)\b", re.I)),
     ("copy/relayout", re.compile(r"^%?(copy|transpose|bitcast|reshape|slice|"
