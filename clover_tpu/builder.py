@@ -129,6 +129,18 @@ def build_dataset(ds_cfg: Dict[str, Any], tokenizer: Optional[BertTokenizer]):
         return VideoQADataset(tokenizer=tokenizer, **cfg)
     if dtype_ == "MCRetrievalDataset":
         return MCRetrievalDataset(tokenizer=tokenizer, **cfg)
+    if dtype_ == "ActionVideoDataset":
+        from clover_tpu.data.datasets import ActionVideoDataset
+
+        names_file = cfg.pop("class_names_file", None)
+        if names_file and not cfg.get("class_names"):
+            with open(names_file) as f:
+                # UCF101 classInd.txt style: "1 ApplyEyeMakeup" or bare names
+                cfg["class_names"] = [
+                    line.split(maxsplit=1)[-1].strip()
+                    for line in f if line.strip()
+                ]
+        return ActionVideoDataset(tokenizer=tokenizer, **cfg)
     raise ValueError(f"unknown dataset type {dtype_!r}")
 
 

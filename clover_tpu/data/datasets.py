@@ -168,6 +168,10 @@ class VideoTextDataset:
                 "flip": np.bool_(False),
                 **enc,
             }
+            if "label" in rec:
+                # zero-shot action eval consumes per-clip labels from the
+                # batch (run_zeroshot_action_eval)
+                sample["label"] = np.int32(rec["label"])
             return sample
 
         rec = self.records[idx]

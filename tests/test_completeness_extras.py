@@ -131,3 +131,63 @@ def test_action_dataset_and_zeroshot_eval():
     assert sample["imgs"].shape[0] == 1
     enc = ds.encode_class_names()
     assert enc["token_ids"].shape[0] == 3
+
+
+def test_zeroshot_action_eval_loop():
+    """run_zeroshot_action_eval end-to-end: class-name embeddings from the
+    text tower, clips scored by nearest class (tools/test.py
+    eval_mode='zeroshot_action')."""
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.data.datasets import ActionVideoDataset, _SYNTH_WORDS
+    from clover_tpu.data.loader import DataLoader
+    from clover_tpu.data.tokenization import BertTokenizer, build_test_vocab
+    from clover_tpu.engine.eval_loop import run_zeroshot_action_eval
+    from clover_tpu.engine.steps import make_embed_eval_step
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+    from clover_tpu.ops.preprocess import eval_preprocess
+
+    tok = BertTokenizer(build_test_vocab(_SYNTH_WORDS))
+    records = [{"filename": f"v{i}.mp4", "label": (i % 3) + 1}
+               for i in range(6)]
+    ds = ActionVideoDataset(
+        records=records, class_names=["dog runs", "cat jumps", "child plays"],
+        tokenizer=tok, backend="synthetic",
+        backend_kwargs={"height": 40, "width": 40}, num_frames=2,
+        test_canonical_size=40, max_length=12)
+    bert = BertConfig(vocab_size=len(tok.vocab), hidden_size=16,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      intermediate_size=32, hidden_dropout=0.0,
+                      attention_dropout=0.0)
+    model = CloverFinetune(FinetuneConfig(
+        swin=SwinConfig(patch_size=(2, 4, 4), stride=(2, 4, 4), embed_dim=8,
+                        depths=(1, 1), num_heads=(2, 2),
+                        window_size=(2, 2, 2), drop_path_rate=0.0),
+        text_bert=bert,
+        fusion=FusionConfig(bert=bert, img_in_size=16, hidden_size=16),
+        task="retrieval", vts_embed_dim=16))
+    sample = ds[0]
+    imgs = eval_preprocess(jnp.asarray(sample["imgs"]), out_size=32,
+                           dtype=jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), imgs[None],
+        jnp.asarray(sample["token_ids"])[None],
+        jnp.asarray(sample["input_mask"])[None],
+        method="forward_test")["params"]
+    enc = ds.encode_class_names()
+    cls_embd = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(enc["token_ids"]),
+        jnp.asarray(enc["input_mask"]), method="forward_text"), np.float32)
+    loader = DataLoader(ds, batch_size=3, shuffle=False, drop_last=False,
+                        num_workers=0)
+    metrics = run_zeroshot_action_eval(
+        make_embed_eval_step(model), params, ds, loader.epoch(0), cls_embd,
+        out_size=32, dtype=jnp.float32)
+    assert 0.0 <= metrics["top-1 acc"] <= 100.0  # percent, reference convention

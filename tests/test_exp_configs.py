@@ -31,6 +31,7 @@ def test_suite_is_complete():
         "finetune_tgif_action_mc.py", "finetune_tgif_transition_mc.py",
         "test_msrvtt_mc.py", "test_lsmdc_mc.py",
         "finetune_msrvtt_mc.py", "finetune_lsmdc_mc.py",
+        "test_ucf101_zeroshot.py",
     ]:
         assert required in names, required
 

@@ -141,6 +141,23 @@ def main():
                 params, test_ds, loader.epoch(0), out_size=img_size,
                 dtype=model.dtype, top_k=cfg.model.get("itm_top_k"),
                 bias_cache=swin_cache_fn)
+        if is_retrieval and cfg.model.get("eval_mode") == "zeroshot_action":
+            # class-name retrieval (reference UCF101VideoDataset ->
+            # recall_for_zeroshot_action_recognition)
+            from clover_tpu.engine.eval_loop import run_zeroshot_action_eval
+
+            enc = test_ds.encode_class_names(
+                cfg.model.get("class_template", "a video of {}"))
+            text_fn = jax.jit(lambda p, ids, m: model.apply(
+                {"params": p}, ids, m, method="forward_text"))
+            cls_embd = np.asarray(text_fn(
+                params, jnp.asarray(enc["token_ids"]),
+                jnp.asarray(enc["input_mask"])), np.float32)
+            eval_step = make_embed_eval_step(model)
+            return run_zeroshot_action_eval(
+                eval_step, params, test_ds, loader.epoch(0), cls_embd,
+                out_size=img_size, dtype=model.dtype,
+                bias_cache=swin_cache_fn)
         if is_retrieval:
             eval_step = make_embed_eval_step(model)
             return run_retrieval_eval(eval_step, params, test_ds,
