@@ -132,16 +132,25 @@ def _env_stage_table(name: str, default: int) -> dict:
     argument of every picker). The 32-frame eval profile shows stage 2
     (nH=16, 18 blocks) is half the device time, so its kernel parameters
     deserve their own tuning point."""
+    raw = _os.environ.get(name, str(default))
     table = {}
-    for part in _os.environ.get(name, str(default)).split(","):
-        part = part.strip()
-        if not part:
-            continue
-        if ":" in part:
-            k, v = part.split(":")
-            table[int(k.strip().lstrip("nh"))] = int(v)
-        else:
-            table[None] = int(part)
+    try:
+        for part in raw.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" in part:
+                k, v = part.split(":", 1)
+                k = k.strip().lower()
+                if k.startswith("nh"):
+                    k = k[2:]
+                table[int(k)] = int(v)
+            else:
+                table[None] = int(part)
+    except ValueError as e:
+        raise ValueError(
+            f"malformed {name}={raw!r} (expected e.g. '20' or "
+            f"'20,nh16:16'): {e}") from None
     table.setdefault(None, default)
     return table
 
@@ -331,6 +340,7 @@ def _pick_wg(Bn: int, nH: int, N: int, C: int, itemsize: int,
             mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize,
                                          nW, nr)
             act = (2 * w * Np_s * Cp * itemsize * 2     # x in + out, 2 buf
+                   + w * Np_s * Cp * 4                  # x fp32 (g==0 / last)
                    + w * Np_s * Cp * (itemsize + 4)     # xn + acc scratch
                    + w * Np_s * g3p * (4 + itemsize)    # qkv fp32 + cast
                    + w * Np_s * Np_l * (4 + itemsize)   # logits + probs

@@ -62,13 +62,18 @@ def moe_dispatch(
 
     dispatch = jnp.zeros((T, E), jnp.float32)
     gates = jnp.zeros((T, E), jnp.float32)
-    p = probs
+    # successive argmax over MASKED LOGITS, not zeroed probs: a saturated
+    # softmax (logit gap > ~88 in fp32) makes every non-top prob exactly
+    # 0.0, and zeroing the winner would re-select it — double-dispatching
+    # the token into one expert with weight 2
+    masked = router_logits.astype(jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
     for _ in range(top_k):
-        idx = jnp.argmax(p, axis=-1)
+        idx = jnp.argmax(masked, axis=-1)
         one = jax.nn.one_hot(idx, E, dtype=jnp.float32)
         dispatch = dispatch + one
         gates = gates + one * probs
-        p = p * (1.0 - one)
+        masked = jnp.where(one > 0, neg, masked)
     if top_k > 1:
         # renormalize gate mass over the selected experts (GShard)
         gates = gates / jnp.maximum(
@@ -143,17 +148,26 @@ class MoEFeedForward(nn.Module):
         return y.reshape(B, S, D), aux
 
 
-def moe_param_shardings(params, mesh, ep_axis: str = "ep"):
+def moe_param_shardings(params, mesh, ep_axis: str = "ep",
+                        num_experts: Optional[int] = None):
     """NamedShardings placing every (E, ...) expert param over ``ep_axis``
     and replicating the router — compose with fsdp/tp shardings for the
-    rest of the tree."""
+    rest of the tree.
+
+    Matching is by leaf name (w1/b1/w2/b2, MoEFeedForward's expert
+    params); pass ``num_experts`` when composing over a larger tree so a
+    same-named non-expert param (dim0 != E) cannot be silently
+    ep-sharded."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[ep_axis]
 
     def spec(path, x):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name in ("w1", "b1", "w2", "b2") and x.shape[0] % n == 0:
+        is_expert = (name in ("w1", "b1", "w2", "b2") and x.ndim >= 2
+                     and x.shape[0] % n == 0
+                     and (num_experts is None or x.shape[0] == num_experts))
+        if is_expert:
             return NamedSharding(mesh, P(ep_axis))
         return NamedSharding(mesh, P())
 

@@ -31,7 +31,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map  # jax.experimental.shard_map is deprecated (v0.8)
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -134,9 +134,16 @@ def pipelined_layer_stack(
     into ``n_microbatches`` (default S) along the batch. Returns the
     same structure with batch restored — numerically the sequential
     composition of the L layers (pinned by tests/test_pipeline.py).
+
+    CONTRACT: bubble ticks run ``layer_apply`` on ZERO-filled inputs
+    (their outputs are masked, but reverse-mode still evaluates the vjp
+    with a zero cotangent) — the layer must be finite, with finite
+    jacobian, on zero inputs, or 0 * inf = NaN poisons the param grads.
+    Standard transformer layers (LN/attention/MLP) satisfy this; layers
+    dividing by or sqrt-ing an activation may not.
     """
     S = mesh.shape[axis_name]
-    M = n_microbatches or S
+    M = S if n_microbatches is None else n_microbatches
     stages = stack_stage_params(per_layer_params, S)
     x_mb = jax.tree_util.tree_map(lambda a: _microbatch(a, M), x)
 
@@ -157,7 +164,7 @@ def pipelined_layer_stack(
         mesh=mesh,
         in_specs=(stage_spec, x_spec),
         out_specs=x_spec,
-        check_rep=False,
+        check_vma=False,
     )
     out_mb = fn(stages, x_mb)
     unsplit = lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
@@ -184,6 +191,10 @@ def pipelined_text_encoder(
     microbatch as a pass-through leaf. Returns the (B, S, D) hidden
     states — same math as ``BertTextEncoder.__call__`` (parity pinned by
     tests/test_pipeline.py::test_pipelined_bert_matches_sequential).
+
+    Deterministic-only: layers run with dropout OFF (no rng plumbing
+    through the pipeline scan) — equivalent to the sequential encoder in
+    eval mode, or in training when cfg dropout rates are 0.
     """
     from clover_tpu.models.bert import (
         BertEmbeddings,

@@ -122,3 +122,25 @@ def test_moe_gradients_flow(rng):
     for name in ("w1", "w2", "router"):
         leaf = g[name]["kernel"] if name == "router" else g[name]
         assert float(jnp.abs(leaf).sum()) > 0, f"zero grad for {name}"
+
+
+def test_top2_saturated_router_picks_distinct_experts():
+    """A saturated softmax (logit gap > ~88 in fp32) zeroes every non-top
+    prob; selection must still pick two DISTINCT experts (regression: the
+    old prob-zeroing loop re-selected the winner, dispatching the token
+    twice into one expert with weight 2)."""
+    from clover_tpu.parallel.moe import moe_dispatch
+
+    logits = jnp.asarray([[200.0, 0.0, -5.0, -5.0],
+                          [0.0, 300.0, 1.0, -2.0]], jnp.float32)
+    dispatch, combine, aux = moe_dispatch(logits, top_k=2, capacity=2)
+    per_expert = np.asarray(dispatch.sum(axis=-1))      # (T, E) 0/1
+    assert per_expert.max() <= 1.0                      # no double pick
+    assert (per_expert.sum(axis=-1) == 2).all()         # two experts each
+    # token 0: winner expert 0, runner-up expert 1; winner keeps all
+    # gate mass (runner-up prob underflowed to 0)
+    assert per_expert[0, 0] == 1.0 and per_expert[0, 1] == 1.0
+    assert per_expert[0, 2] == 0.0 and per_expert[0, 3] == 0.0
+    g = np.asarray(combine.sum(axis=-1))
+    np.testing.assert_allclose(g[0, 0], 1.0, atol=1e-6)
+    assert np.isfinite(float(aux))
