@@ -127,6 +127,24 @@ def test_towers_match_forward_test_pairing(exported):
     np.testing.assert_allclose(np.asarray(t), np.asarray(t_joint), atol=1e-6)
 
 
+def test_export_accepts_bare_param_tree(exported):
+    """export_retrieval_towers accepts both {'params': tree} and the bare
+    tree (it wraps once up front — the old fallback broke at apply)."""
+    model, params, _, (B, T, S, L) = exported
+    exports = export_retrieval_towers(
+        model, params["params"], batch_sizes=(B,), frames=T, image_size=S,
+        text_len=L, sim_candidates=4)
+    rng = np.random.default_rng(2)
+    frames_u8 = jnp.asarray(rng.integers(0, 256, (B, T, S, S, 3), np.uint8))
+    got = np.asarray(exports[f"video_tower_b{B}"].call(frames_u8))
+    from clover_tpu.ops.preprocess import eval_preprocess
+
+    imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.float32)
+    want = np.asarray(model.apply(params, imgs[:, None], None,
+                                  method="forward_video"))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_export_cli_smoke(tmp_path):
     out = tmp_path / "bundle"
     env = dict(os.environ, USE_TF="0")
