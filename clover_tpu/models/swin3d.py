@@ -493,6 +493,28 @@ class WindowAttention3D(nn.Module):
             out = dense(self.dim, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
 
+        if x.ndim == 2:
+            # flat-token path (window-resident callers, N % 8 != 0): x is
+            # (Bn*N, C) row-major. The qkv GEMM, the flat2 attention kernel,
+            # and the proj GEMM all consume/produce 2-D — none of the
+            # (Bn, N, C) re-tiling copies the 3-D path pays when N is not
+            # sublane-aligned (~17% of the 8-frame eval step; TODO r3 lead).
+            from clover_tpu.ops.window_attention import (
+                flat2_window_attention, no_max_enabled)
+
+            M, C = x.shape
+            bias = make_bias()
+            qkv2 = dense(self.dim * 3, use_bias=self.qkv_bias,
+                         dtype=self.dtype, name="qkv")(x)
+            flat_mask = (None if attn_mask is None
+                         else attn_mask.astype(jnp.float32))
+            out2 = flat2_window_attention(qkv2, bias, flat_mask, scale,
+                                          self.num_heads, N,
+                                          no_max_enabled(deterministic))
+            out2 = dense(self.dim, dtype=self.dtype, name="proj")(out2)
+            return nn.Dropout(self.proj_drop,
+                              deterministic=deterministic)(out2)
+
         Bn, N, C = x.shape
 
         # 2-D GEMM form: on a 3-D operand XLA lowers the projection as a
@@ -776,9 +798,20 @@ class SwinBlock3D(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             attention_impl=impl, dtype=self.dtype, name="attn",
         )
-        attn_out = attn_module(xn.reshape(-1, N, C), window, attn_mask,
-                               deterministic=deterministic,
-                               bias_override=bias_cache)
+        if (impl == "pallas_flat" and self.attn_drop == 0.0 and N % 8
+                and deterministic):
+            # flat2: (B*L, C) in / (B*L, C) out — both reshapes here are
+            # free bitcasts (L = nW*N is sublane-aligned), unlike the
+            # (Bn, N, C) re-tiling below. Eval-only: the fused bwd reuses
+            # the 3-D machinery via a reshape pair, and that relayout makes
+            # training LOSE (measured 50.3 vs 52.8 clips/s at B=8)
+            attn_out = attn_module(xn.reshape(-1, C), window, attn_mask,
+                                   deterministic=deterministic,
+                                   bias_override=bias_cache)
+        else:
+            attn_out = attn_module(xn.reshape(-1, N, C), window, attn_mask,
+                                   deterministic=deterministic,
+                                   bias_override=bias_cache)
         x = shortcut + DropPath(self.drop_path, name="drop_path1")(
             attn_out.reshape(B, L, C), deterministic=deterministic)
         x = self._mlp_half(x, deterministic)

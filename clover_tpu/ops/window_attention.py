@@ -956,6 +956,203 @@ def _forward_flat(qkv, bias, mask, scale, num_heads, no_max=False):
     )(qkv, bias.astype(qkv.dtype), mask.astype(qkv.dtype))
 
 
+# ------------------------------------------------------------- flat2 (2-D)
+# Flat-IN/flat-OUT variant: the qkv GEMM emits (Bn*N, 3C) row-major and the
+# proj GEMM consumes (Bn*N, C) row-major. Re-tiling those to the (Bn, N, C)
+# window layout is REAL data movement whenever N % 8 != 0 (each (N, C)
+# slice pads to 8 sublanes: N=196 -> 200, so rows shift) — the 8-frame eval
+# profile put that reshape bucket at ~17% of the step (~0.96 ms per qkv
+# reshape at stage 0, TODO round-3 lead).
+#
+# Design: W WINDOWS PER PROGRAM with W*N sublane-aligned (W = 8/gcd(N,8)),
+# so the 2-D qkv/out BlockSpecs satisfy Mosaic's tiling rule (block dims
+# must be a multiple of (8, 128) or equal the array dim — a bare (N, 3C)
+# block with N=196 is rejected on real TPU). Each program statically
+# slices its W windows out of the (W*N, 3C) block; odd-w slices start at
+# a non-8-aligned sublane offset, which is normalized to offset 0 via a
+# VMEM scratch roundtrip (a supported relayout; Mosaic REJECTS
+# tpu.concatenate — the region-lanes q‖r and the fused-sum v‖1 — on
+# operands with mismatched sublane offsets, so the slice cannot be used
+# directly). That VPU copy replaces the HBM re-tiling this path exists
+# to remove. Per-head q/k/v are plain LANE slices of the normalized
+# window slice (views). Rejected alternative, measured worse: per-head
+# (W*N, hd) -> (W, N, hd) VMEM reshapes lower to quarter-utilized
+# 32-lane VPU shuffles (bench 514 vs 592 clips/s).
+
+
+def _flat2_W(N: int) -> int:
+    """Smallest W with W*N sublane-aligned."""
+    import math
+    return 8 // math.gcd(N, 8)
+
+
+def _flat2_window(qkv_ref, scratch_ref, w, N):
+    """(N, 3C) slice of window w, sublane-offset-normalized via scratch
+    when the row offset is not 8-aligned."""
+    if (w * N) % 8 == 0:
+        return qkv_ref[w * N:(w + 1) * N, :]
+    scratch_ref[...] = qkv_ref[w * N:(w + 1) * N, :]
+    return scratch_ref[...]
+
+
+def _attn_kernel_flat2(qkv_ref, bias_ref, out_ref, scratch_ref, *,
+                       scale, nH, hd, W, N, no_max=False):
+    C = nH * hd
+    sc = qkv_ref.dtype.type(scale)
+    for w in range(W):                               # static row offsets
+        qkv_w = _flat2_window(qkv_ref, scratch_ref, w, N)
+        for h in range(nH):                          # static lane offsets
+            q = qkv_w[:, h * hd:(h + 1) * hd] * sc   # (N, hd)
+            k = qkv_w[:, C + h * hd:C + (h + 1) * hd]
+            v = qkv_w[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (N, N) f32 acc
+            logits = logits + bias_ref[h].astype(jnp.float32)
+            out = _softmax_pv(logits[None], v[None], out_ref.dtype,
+                              static_shift=30.0 if no_max else None)
+            out_ref[w * N:(w + 1) * N, h * hd:(h + 1) * hd] = out[0]
+
+
+def _attn_kernel_flat2_masked(qkv_ref, bias_ref, mask_ref, out_ref,
+                              scratch_ref, *, scale, nH, hd, W, N,
+                              no_max=False):
+    C = nH * hd
+    sc = qkv_ref.dtype.type(scale)
+    for w in range(W):
+        qkv_w = _flat2_window(qkv_ref, scratch_ref, w, N)
+        m = mask_ref[w].astype(jnp.float32)          # (N, N)
+        for h in range(nH):
+            q = qkv_w[:, h * hd:(h + 1) * hd] * sc
+            k = qkv_w[:, C + h * hd:C + (h + 1) * hd]
+            v = qkv_w[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = logits + bias_ref[h].astype(jnp.float32) + m
+            out = _softmax_pv(logits[None], v[None], out_ref.dtype,
+                              static_shift=30.0 if no_max else None)
+            out_ref[w * N:(w + 1) * N, h * hd:(h + 1) * hd] = out[0]
+
+
+def _attn_kernel_flat2_lanes(qkv_ref, bias_ref, r_ref, out_ref,
+                             scratch_ref, *, scale, nH, hd, W, N,
+                             no_max=False):
+    """Flat 2-D kernel, shift mask as region lanes (see
+    _attn_kernel_flat_lanes); r_ref block is (W, N, nr) — its [w] rows
+    are offset 0, matching the normalized qkv slice for the concat."""
+    C = nH * hd
+    sc = qkv_ref.dtype.type(scale)
+    for w in range(W):
+        qkv_w = _flat2_window(qkv_ref, scratch_ref, w, N)
+        r = r_ref[w]                                 # (N, nr)
+        for h in range(nH):
+            q = jnp.concatenate(
+                [qkv_w[:, h * hd:(h + 1) * hd] * sc, r], axis=-1)
+            k = jnp.concatenate(
+                [qkv_w[:, C + h * hd:C + (h + 1) * hd], r], axis=-1)
+            v = qkv_w[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = logits + bias_ref[h].astype(jnp.float32)
+            out = _softmax_pv(logits[None], v[None], out_ref.dtype,
+                              static_shift=130.0 if no_max else None)
+            out_ref[w * N:(w + 1) * N, h * hd:(h + 1) * hd] = out[0]
+
+
+def _flat2_feasible(nH: int, N: int, hd: int, itemsize: int,
+                    nr: Optional[int] = None) -> bool:
+    """Per-program VMEM for the W-window kernel: double-buffered
+    (W*N, 3C)/(W*N, C) blocks, resident all-heads bias, one window's
+    shifted (N, 3C) slice + one head's fp32 logits/probs live at a time."""
+    C = nH * hd
+    W = _flat2_W(N)
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    mask_need = _mask_block_need(W, Np_s, Np_l, hd, itemsize,
+                                 1 if nr is None else None, nr)
+    need = (2 * W * N * _pad_to(3 * C, 128) * itemsize      # qkv x2
+            + 2 * W * N * _pad_to(C, 128) * itemsize        # out x2
+            + 2 * nH * Np_s * Np_l * itemsize               # bias x2
+            + mask_need
+            + Np_s * _pad_to(3 * C, 128) * itemsize         # shifted slice
+            + Np_s * Np_l * (4 + itemsize)                  # logits+probs
+            + Np_s * Np_l * 4)                              # mask/bias f32
+    return need <= _FLAT_VMEM_BUDGET
+
+
+def _forward_flat2(qkv2, bias, mask, scale, num_heads, N, no_max=False):
+    """qkv2 (Bn*N, 3C) -> (Bn*N, C) or None if infeasible.
+    bias (nH, N, N); mask (nW, N, N) additive or (nW, N, nr) lanes."""
+    M, threeC = qkv2.shape
+    C = threeC // 3
+    hd = C // num_heads
+    Bn = M // N
+    W = _flat2_W(N)
+    nW = None if mask is None else mask.shape[0]
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
+    if (not _FLAT2_ON or N > _FLAT_MAX_N or Bn % W
+            or (nW is not None and nW % W)
+            or not _flat2_feasible(num_heads, N, hd,
+                                   qkv2.dtype.itemsize, nr)):
+        return None
+    qkv_spec = pl.BlockSpec((W * N, 3 * C), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((W * N, C), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=2 * qkv2.size * qkv2.dtype.itemsize
+        + num_heads * N * N * qkv2.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, W=W, N=N,
+                  no_max=no_max)
+    scratch = [pltpu.VMEM((N, 3 * C), qkv2.dtype)]
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat2, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((M, C), qkv2.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, bias.astype(qkv2.dtype))
+    # BLOCK index semantics (element offset = index * block dim):
+    # program i covers windows i*W..i*W+W-1, whose mask rows start at
+    # (i*W) % nW — a multiple of W since nW % W == 0 — block i % (nW//W)
+    if lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda i: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat2_lanes, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec, r_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((M, C), qkv2.dtype),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, bias.astype(qkv2.dtype), mask.astype(qkv2.dtype))
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat2_masked, **kwargs),
+        grid=(Bn // W,),
+        in_specs=[qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((M, C), qkv2.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv2, bias.astype(qkv2.dtype), mask.astype(qkv2.dtype))
+
+
 # ----------------------------------------------------------- long/flash v6
 # Key-tiled flash variant for long windows (N=392 at 32-frame eval) where
 # v5's all-keys blocks don't fit VMEM: iterate 128-wide key tiles with a
@@ -1792,6 +1989,66 @@ def _flat_bwd(scale, num_heads, no_max, residuals, g):
 
 
 flat_window_attention.defvjp(_flat_fwd, _flat_bwd)
+
+
+_FLAT2_ON = _os.environ.get("CLOVER_WA_FLAT2", "1") != "0"
+
+
+def flat2_available(Bn: int, N: int, num_heads: int, C: int,
+                    itemsize: int, nW: Optional[int],
+                    nr: Optional[int] = None) -> bool:
+    """Static (trace-time) feasibility of the 2-D kernel path."""
+    W = _flat2_W(N)
+    return (_FLAT2_ON and N <= _FLAT_MAX_N and Bn % W == 0
+            and (nW is None or nW % W == 0)
+            and _flat2_feasible(num_heads, N, C // num_heads, itemsize, nr))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flat2_window_attention(qkv2, bias, mask, scale, num_heads, N,
+                           no_max=False):
+    """2-D flat-in/flat-out window attention: qkv2 (Bn*N, 3C) -> (Bn*N, C).
+
+    Same math and mask forms as flat_window_attention (whose docstring,
+    incl. the ZERO-mask-gradient contract, applies verbatim); the window
+    axis exists only inside the kernel, so the surrounding qkv/proj GEMMs
+    stay row-major 2-D with no HBM re-tiling (the N % 8 != 0 relayout this
+    op exists to remove). Falls back to the 3-D kernel / XLA reference
+    when no 2-D block is VMEM-feasible.
+    """
+    out = _forward_flat2(qkv2, bias, mask, scale, num_heads, N,
+                         no_max=no_max)
+    if out is not None:
+        return out
+    M, threeC = qkv2.shape
+    out3 = _forward_flat(qkv2.reshape(M // N, N, threeC), bias, mask, scale,
+                         num_heads, no_max=no_max)
+    return out3.reshape(M, threeC // 3)
+
+
+def _flat2_fwd(qkv2, bias, mask, scale, num_heads, N, no_max=False):
+    return (flat2_window_attention(qkv2, bias, mask, scale, num_heads, N,
+                                   no_max=no_max),
+            (qkv2, bias, mask))
+
+
+def _flat2_bwd(scale, num_heads, N, no_max, residuals, g):
+    # reuse the 3-D fused bwd machinery: the one (Bn, N, 3C) relayout pair
+    # this costs only exists on the training path; _flat_bwd's
+    # match-the-forward-numerics logic applies because the 2-D and 3-D
+    # kernels share the same in-VMEM fp32-logit math (and the 3-D pickers
+    # are at least as permissive as the 2-D one, so "some kernel ran" is
+    # decided identically).
+    qkv2, bias, mask = residuals
+    M, threeC = qkv2.shape
+    dqkv3, dbias, dmask = _flat_bwd(
+        scale, num_heads, no_max,
+        (qkv2.reshape(M // N, N, threeC), bias, mask),
+        g.reshape(M // N, N, threeC // 3))
+    return dqkv3.reshape(M, threeC), dbias, dmask
+
+
+flat2_window_attention.defvjp(_flat2_fwd, _flat2_bwd)
 
 
 import os

@@ -519,3 +519,107 @@ def test_region_lanes_degenerate_window_falls_back_to_additive(rng):
     np.testing.assert_allclose(np.asarray(m_flat.apply(p, x)),
                                np.asarray(m_xla.apply(p, x)),
                                atol=5e-4)
+
+
+# ------------------------------------------------------------------ flat2
+# 2-D flat-in/flat-out kernel: removes the (Bn, N, C) re-tiling around the
+# qkv/proj GEMMs when N % 8 != 0 (the 8-frame eval reshape tail).
+
+
+@pytest.mark.parametrize("mask_form", ["none", "additive", "lanes"])
+def test_flat2_kernel_matches_xla(rng, mask_form):
+    import clover_tpu.ops.window_attention as wa
+
+    Bn, nH, N, hd, nW = 8, 2, 12, 16, 4        # N % 8 != 0 on purpose
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    if mask_form == "none":
+        mask = None
+    elif mask_form == "additive":
+        mask = jnp.asarray(np.where(rng.random((nW, N, N)) < 0.3,
+                                    -100.0, 0.0).astype(np.float32))
+    else:
+        lanes = np.zeros((nW, N, 3), np.float32)
+        regions = rng.integers(0, 3, size=(nW, N))
+        lanes[np.arange(nW)[:, None], np.arange(N)[None], regions] = 10.0
+        mask = jnp.asarray(lanes)
+    scale = hd ** -0.5
+    out2 = wa.flat2_window_attention(qkv.reshape(Bn * N, 3 * C), bias, mask,
+                                     scale, nH, N)
+    assert out2.shape == (Bn * N, C)
+    ref_mask = wa.lanes_to_additive(mask) if mask_form == "lanes" else mask
+    ref = wa._xla_flat_reference(qkv, bias, ref_mask, scale, nH)
+    np.testing.assert_allclose(np.asarray(out2).reshape(Bn, N, C),
+                               np.asarray(ref), atol=2e-5)
+
+
+def test_flat2_kernel_gradients_match_xla(rng):
+    import clover_tpu.ops.window_attention as wa
+
+    Bn, nH, N, hd, nW = 8, 2, 12, 8, 4
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn * N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    mask = jnp.asarray(np.where(rng.random((nW, N, N)) < 0.3,
+                                -100.0, 0.0).astype(np.float32))
+    scale = hd ** -0.5
+
+    def loss2(qkv, bias):
+        return jnp.sum(
+            wa.flat2_window_attention(qkv, bias, mask, scale, nH, N) ** 2)
+
+    def loss_ref(qkv3, bias):
+        return jnp.sum(
+            wa._xla_flat_reference(qkv3, bias, mask, scale, nH) ** 2)
+
+    g2 = jax.grad(loss2, argnums=(0, 1))(qkv, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(qkv.reshape(Bn, N, 3 * C), bias)
+    np.testing.assert_allclose(np.asarray(g2[0]).reshape(Bn, N, 3 * C),
+                               np.asarray(gr[0]), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(gr[1]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_flat2_infeasible_falls_back(rng, monkeypatch):
+    """When no 2-D block fits, flat2 must reshape and defer to the 3-D
+    path (same values)."""
+    import clover_tpu.ops.window_attention as wa
+
+    Bn, nH, N, hd = 4, 2, 12, 16
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn * N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    scale = hd ** -0.5
+    ref = wa.flat2_window_attention(qkv, bias, None, scale, nH, N)
+    monkeypatch.setattr(wa, "_flat2_feasible", lambda *a, **k: False)
+    out = wa.flat2_window_attention(qkv, bias, None, scale, nH, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_resident_block_flat2_matches_xla_and_params(rng):
+    """Window-resident Swin block with N % 8 != 0 routes attention through
+    the 2-D branch; outputs must match the XLA impl and the param tree must
+    be checkpoint-identical."""
+    import dataclasses
+
+    from clover_tpu.models.swin3d import SwinConfig, SwinTransformer3D
+
+    # window (1, 3, 3) -> N = 9 (not sublane-aligned), resident stages
+    cfg_flat = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2),
+                          embed_dim=8, depths=(2,), num_heads=(2,),
+                          window_size=(1, 3, 3), drop_path_rate=0.0,
+                          attention_impl="pallas_flat")
+    cfg_xla = dataclasses.replace(cfg_flat, attention_impl="xla")
+    x = jnp.asarray(rng.normal(size=(2, 3, 2, 6, 6)).astype(np.float32))
+    m_flat, m_xla = SwinTransformer3D(cfg_flat), SwinTransformer3D(cfg_xla)
+    p_flat = m_flat.init(jax.random.PRNGKey(0), x)
+    p_xla = m_xla.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(p_flat)
+            == jax.tree_util.tree_structure(p_xla))
+    for a, b in zip(jax.tree_util.tree_leaves(p_flat),
+                    jax.tree_util.tree_leaves(p_xla)):
+        assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(m_flat.apply(p_flat, x)),
+                               np.asarray(m_xla.apply(p_flat, x)),
+                               atol=5e-4)
