@@ -798,13 +798,30 @@ class SwinBlock3D(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             attention_impl=impl, dtype=self.dtype, name="attn",
         )
-        if (impl == "pallas_flat" and self.attn_drop == 0.0 and N % 8
-                and deterministic):
+        use_flat2 = (impl == "pallas_flat" and self.attn_drop == 0.0
+                     and N % 8)
+        if use_flat2 and not deterministic:
+            # training takes flat2 only when OPTED IN (CLOVER_WA_FLAT2_TRAIN
+            # — measured 51.8 vs 54.5 clips/s, see window_attention's
+            # _FLAT2_TRAIN note) AND the NATIVE 2-D backward is
+            # shape-feasible: the reshape-pair bwd fallback relayouts
+            # g/dqkv and loses even more (50.3 vs 52.8 at B=8)
+            from clover_tpu.ops.window_attention import (
+                flat2_bwd_available, flat2_train_enabled)
+
+            nr_or_none = (attn_mask.shape[-1]
+                          if attn_mask is not None
+                          and attn_mask.shape[-1] != attn_mask.shape[-2]
+                          else None)
+            use_flat2 = flat2_train_enabled() and flat2_bwd_available(
+                B * (L // N), N, self.num_heads, C,
+                jnp.dtype(self.dtype).itemsize,
+                None if attn_mask is None else attn_mask.shape[0],
+                nr_or_none)
+        if use_flat2:
             # flat2: (B*L, C) in / (B*L, C) out — both reshapes here are
             # free bitcasts (L = nW*N is sublane-aligned), unlike the
-            # (Bn, N, C) re-tiling below. Eval-only: the fused bwd reuses
-            # the 3-D machinery via a reshape pair, and that relayout makes
-            # training LOSE (measured 50.3 vs 52.8 clips/s at B=8)
+            # (Bn, N, C) re-tiling below
             attn_out = attn_module(xn.reshape(-1, C), window, attn_mask,
                                    deterministic=deterministic,
                                    bias_override=bias_cache)

@@ -1994,6 +1994,232 @@ flat_window_attention.defvjp(_flat_fwd, _flat_bwd)
 _FLAT2_ON = _os.environ.get("CLOVER_WA_FLAT2", "1") != "0"
 
 
+# ------------------------------------------------------- flat2 backward
+# Native 2-D backward for the flat2 kernel: takes g (Bn*N, C) row-major
+# and emits dqkv (Bn*N, 3C) row-major, recomputing logits/probs in VMEM
+# per window exactly like _attn_kernel_flat_bwd. Why it exists: the first
+# flat2 training attempt reused the 3-D bwd machinery through a
+# (Bn*N, 3C) <-> (Bn, N, 3C) reshape pair, and that relayout (real data
+# movement at N % 8 != 0) made training LOSE (50.3 vs 52.8 clips/s at
+# B=8) even though the flat2 forward wins +10% — so flat2 was gated
+# eval-only. With a 2-D-in/2-D-out bwd both halves of the block keep the
+# row-major layout end to end and training can take the flat2 path too.
+
+
+def _attn_kernel_flat2_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                           scratch_ref, gscratch_ref, *, scale, nH, hd,
+                           W, N, mask_ref=None, r_ref=None):
+    C = nH * hd
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    sc = qkv_ref.dtype.type(scale)
+    for w in range(W):                                # static row offsets
+        qkv_w = _flat2_window(qkv_ref, scratch_ref, w, N)
+        g_w = _flat2_window(g_ref, gscratch_ref, w, N)
+        m = (None if mask_ref is None
+             else mask_ref[w].astype(jnp.float32))    # (N, N)
+        r = None if r_ref is None else r_ref[w]       # (N, nr), offset 0
+        for h in range(nH):                           # static lane offsets
+            # qs = q*scale in bf16; dk = dlogᵀ·qs absorbs the scale (same
+            # single-rounding argument as _attn_kernel_flat_bwd)
+            qs = qkv_w[:, h * hd:(h + 1) * hd] * sc            # (N, hd)
+            k = qkv_w[:, C + h * hd:C + (h + 1) * hd]
+            v = qkv_w[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            if r is not None:
+                # shift mask rides the recompute dot as region lanes;
+                # dq/dk below contract the REAL k/qs (lanes are constants)
+                logits = jax.lax.dot_general(
+                    jnp.concatenate([qs, r], axis=-1),
+                    jnp.concatenate([k, r], axis=-1),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (Nq, Nk)
+            else:
+                logits = jax.lax.dot_general(
+                    qs, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # (Nq, Nk)
+            logits = logits + bias_ref[h].astype(jnp.float32)
+            if m is not None:
+                logits = logits + m
+            # bwd recompute keeps the TRUE row max (mathematically the
+            # same softmax as a no-max forward — exact grads either way)
+            mx = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - mx)
+            p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
+            p = p32.astype(qkv_ref.dtype)
+            g_h = g_w[:, h * hd:(h + 1) * hd]                  # (Nq, hd)
+            dv = jax.lax.dot_general(
+                p, g_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (Nk, hd)
+            dp = jax.lax.dot_general(
+                g_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (Nq, Nk)
+            dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+            dlog_b = dlog.astype(qkv_ref.dtype)
+            dq = jax.lax.dot_general(
+                dlog_b, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # (Nq, hd)
+            dk = jax.lax.dot_general(
+                dlog_b, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (Nk, hd)
+            lo = w * N
+            dqkv_ref[lo:lo + N, h * hd:(h + 1) * hd] = dq.astype(
+                dqkv_ref.dtype)
+            dqkv_ref[lo:lo + N, C + h * hd:C + (h + 1) * hd] = dk.astype(
+                dqkv_ref.dtype)
+            dqkv_ref[lo:lo + N, 2 * C + h * hd:2 * C + (h + 1) * hd] = (
+                dv.astype(dqkv_ref.dtype))
+            dbias_ref[h] += dlog
+
+
+def _attn_kernel_flat2_bwd_masked(qkv_ref, bias_ref, g_ref, mask_ref,
+                                  dqkv_ref, dbias_ref, scratch_ref,
+                                  gscratch_ref, **kw):
+    _attn_kernel_flat2_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                           scratch_ref, gscratch_ref, mask_ref=mask_ref,
+                           **kw)
+
+
+def _attn_kernel_flat2_bwd_lanes(qkv_ref, bias_ref, g_ref, r_ref,
+                                 dqkv_ref, dbias_ref, scratch_ref,
+                                 gscratch_ref, **kw):
+    _attn_kernel_flat2_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                           scratch_ref, gscratch_ref, r_ref=r_ref, **kw)
+
+
+def _flat2_bwd_feasible(nH: int, N: int, hd: int, itemsize: int,
+                        nr: Optional[int] = None) -> bool:
+    """Per-program VMEM for the 2-D bwd: double-buffered qkv/g/dqkv
+    blocks, resident fp32 dbias + all-heads bias, two normalization
+    scratches, one head's fp32 logits/dp/dlog (+ bf16 casts) live."""
+    C = nH * hd
+    W = _flat2_W(N)
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    mask_need = _mask_block_need(W, Np_s, Np_l, hd, itemsize,
+                                 1 if nr is None else None, nr,
+                                 f32_copy=False)
+    need = (2 * W * N * _pad_to(3 * C, 128) * itemsize      # qkv x2
+            + 2 * W * N * _pad_to(C, 128) * itemsize        # g x2
+            + 2 * W * N * _pad_to(3 * C, 128) * itemsize    # dqkv x2
+            + nH * Np_s * Np_l * 4                          # dbias resident
+            + 2 * nH * Np_s * Np_l * itemsize               # bias x2
+            + mask_need
+            + Np_s * _pad_to(3 * C, 128) * itemsize         # qkv scratch
+            + Np_s * _pad_to(C, 128) * itemsize             # g scratch
+            + 3 * Np_s * Np_l * 4                           # logits/dp/dlog
+            + 2 * Np_s * Np_l * itemsize)                   # p/dlog_b casts
+    return need <= _FLAT_VMEM_BUDGET
+
+
+def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2):
+    """2-D fused bwd: (dqkv2, dbias) or None if infeasible."""
+    M, threeC = qkv2.shape
+    C = threeC // 3
+    hd = C // num_heads
+    Bn = M // N
+    W = _flat2_W(N)
+    if _is_lanes(mask) and N > _BWD_LANES_MAX_N:
+        mask = lanes_to_additive(mask)
+    nW = None if mask is None else mask.shape[0]
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
+    if (not _FLAT2_ON or not _BWD_KERNEL or N > _FLAT_MAX_N or Bn % W
+            or (nW is not None and nW % W)
+            or not _flat2_bwd_feasible(num_heads, N, hd,
+                                       qkv2.dtype.itemsize, nr)):
+        return None
+    dt = qkv2.dtype
+    qkv_spec = pl.BlockSpec((W * N, 3 * C), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((W * N, C), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    dbias_spec = pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((M, 3 * C), dt),
+                  jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32))
+    cost = pl.CostEstimate(
+        flops=5 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=4 * qkv2.size * qkv2.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, W=W, N=N)
+    scratch = [pltpu.VMEM((N, 3 * C), dt), pltpu.VMEM((N, C), dt)]
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat2_bwd, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec, g_spec],
+            out_specs=(qkv_spec, dbias_spec),
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, bias.astype(dt), g2)
+    if lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda i: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_flat2_bwd_lanes, **kwargs),
+            grid=(Bn // W,),
+            in_specs=[qkv_spec, bias_spec, g_spec, r_spec],
+            out_specs=(qkv_spec, dbias_spec),
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, bias.astype(dt), g2, mask.astype(dt))
+    mask_spec = pl.BlockSpec((W, N, N), lambda i: (i % (nW // W), 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_flat2_bwd_masked, **kwargs),
+        grid=(Bn // W,),
+        in_specs=[qkv_spec, bias_spec, g_spec, mask_spec],
+        out_specs=(qkv_spec, dbias_spec),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        cost_estimate=cost,
+        interpret=_interpret(),
+    )(qkv2, bias.astype(dt), g2, mask.astype(dt))
+
+
+# Train-path flat2 (CLOVER_WA_FLAT2_TRAIN, default OFF): with the native
+# 2-D bwd, flat2 training measured 51.8 vs 54.5 clips/s (B=16 pretrain,
+# 2026-08-19) — the bwd's per-window 2-D dots lose the W-batched MXU
+# pipelining of the 3-D grouped bwd, costing more than the g/dqkv HBM
+# relayout pair they remove (the reshape-pair bwd had already measured
+# 50.3 vs 52.8 at B=8). Eval keeps flat2 unconditionally (+10%: no bwd).
+_FLAT2_TRAIN = _os.environ.get("CLOVER_WA_FLAT2_TRAIN", "0") != "0"
+
+
+def flat2_train_enabled() -> bool:
+    """Should TRAINING passes route N % 8 != 0 attention through flat2?
+    Off by default — measured slower than the 3-D path (see _FLAT2_TRAIN
+    note); the knob exists so the A/B stays one env var."""
+    return _FLAT2_TRAIN
+
+
+def flat2_bwd_available(Bn: int, N: int, num_heads: int, C: int,
+                        itemsize: int, nW: Optional[int],
+                        nr: Optional[int] = None) -> bool:
+    """Static feasibility of the NATIVE 2-D backward. Training callers
+    (swin3d) take the flat2 path only when this holds — otherwise the bwd
+    would fall back to the 3-D machinery through a reshape pair whose
+    relayout makes training slower than the 3-D path (measured)."""
+    W = _flat2_W(N)
+    if nr is not None and N > _BWD_LANES_MAX_N:
+        nr = None          # bwd converts lanes back to the additive mask
+        nW = nW if nW is not None else 1
+    return (_FLAT2_ON and _BWD_KERNEL and N <= _FLAT_MAX_N and Bn % W == 0
+            and (nW is None or nW % W == 0)
+            and _flat2_bwd_feasible(num_heads, N, C // num_heads,
+                                    itemsize, nr))
+
+
 def flat2_available(Bn: int, N: int, num_heads: int, C: int,
                     itemsize: int, nW: Optional[int],
                     nr: Optional[int] = None) -> bool:
@@ -2033,13 +2259,22 @@ def _flat2_fwd(qkv2, bias, mask, scale, num_heads, N, no_max=False):
 
 
 def _flat2_bwd(scale, num_heads, N, no_max, residuals, g):
-    # reuse the 3-D fused bwd machinery: the one (Bn, N, 3C) relayout pair
-    # this costs only exists on the training path; _flat_bwd's
-    # match-the-forward-numerics logic applies because the 2-D and 3-D
-    # kernels share the same in-VMEM fp32-logit math (and the 3-D pickers
-    # are at least as permissive as the 2-D one, so "some kernel ran" is
-    # decided identically).
     qkv2, bias, mask = residuals
+    # native 2-D bwd first: keeps g/dqkv row-major (the reshape fallback
+    # below is a real relayout at N % 8 != 0 that loses in training)
+    out = _backward_flat2(qkv2, bias, mask, scale, num_heads, N,
+                          g.astype(qkv2.dtype))
+    if out is not None:
+        dqkv2, dbias = out
+        dbias = dbias.astype(bias.dtype)
+        # shift masks are trace-time constants — zero grad (flat contract)
+        dmask = None if mask is None else jnp.zeros_like(mask)
+        return dqkv2, dbias, dmask
+    # fallback: reuse the 3-D fused bwd machinery through a reshape pair;
+    # _flat_bwd's match-the-forward-numerics logic applies because the 2-D
+    # and 3-D kernels share the same in-VMEM fp32-logit math (and the 3-D
+    # pickers are at least as permissive as the 2-D one, so "some kernel
+    # ran" is decided identically).
     M, threeC = qkv2.shape
     dqkv3, dbias, dmask = _flat_bwd(
         scale, num_heads, no_max,

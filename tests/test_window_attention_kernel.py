@@ -554,15 +554,31 @@ def test_flat2_kernel_matches_xla(rng, mask_form):
                                np.asarray(ref), atol=2e-5)
 
 
-def test_flat2_kernel_gradients_match_xla(rng):
+@pytest.mark.parametrize("mask_form", ["none", "additive", "lanes"])
+@pytest.mark.parametrize("native_bwd", [True, False])
+def test_flat2_kernel_gradients_match_xla(rng, mask_form, native_bwd,
+                                          monkeypatch):
+    """Gradients through the NATIVE 2-D backward kernel (native_bwd=True)
+    and the reshape-pair 3-D fallback must both match the XLA vjp."""
     import clover_tpu.ops.window_attention as wa
 
     Bn, nH, N, hd, nW = 8, 2, 12, 8, 4
     C = nH * hd
+    if not native_bwd:
+        monkeypatch.setattr(wa, "_flat2_bwd_feasible", lambda *a, **k: False)
     qkv = jnp.asarray(rng.normal(size=(Bn * N, 3 * C)).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
-    mask = jnp.asarray(np.where(rng.random((nW, N, N)) < 0.3,
-                                -100.0, 0.0).astype(np.float32))
+    if mask_form == "none":
+        mask = None
+    elif mask_form == "additive":
+        mask = jnp.asarray(np.where(rng.random((nW, N, N)) < 0.3,
+                                    -100.0, 0.0).astype(np.float32))
+    else:
+        lanes = np.zeros((nW, N, 3), np.float32)
+        regions = rng.integers(0, 3, size=(nW, N))
+        lanes[np.arange(nW)[:, None], np.arange(N)[None], regions] = 10.0
+        mask = jnp.asarray(lanes)
+    ref_mask = wa.lanes_to_additive(mask) if mask_form == "lanes" else mask
     scale = hd ** -0.5
 
     def loss2(qkv, bias):
@@ -571,7 +587,7 @@ def test_flat2_kernel_gradients_match_xla(rng):
 
     def loss_ref(qkv3, bias):
         return jnp.sum(
-            wa._xla_flat_reference(qkv3, bias, mask, scale, nH) ** 2)
+            wa._xla_flat_reference(qkv3, bias, ref_mask, scale, nH) ** 2)
 
     g2 = jax.grad(loss2, argnums=(0, 1))(qkv, bias)
     gr = jax.grad(loss_ref, argnums=(0, 1))(qkv.reshape(Bn, N, 3 * C), bias)
@@ -623,3 +639,40 @@ def test_resident_block_flat2_matches_xla_and_params(rng):
     np.testing.assert_allclose(np.asarray(m_flat.apply(p_flat, x)),
                                np.asarray(m_xla.apply(p_flat, x)),
                                atol=5e-4)
+
+
+def test_resident_block_flat2_train_grads_match_xla(rng, monkeypatch):
+    """TRAINING through the resident flat2 branch (native 2-D bwd kernel):
+    parameter gradients must match the XLA attention impl. Pins the
+    swin3d gate that routes non-deterministic passes to flat2 only when
+    the opt-in knob is set AND flat2_bwd_available holds."""
+    import dataclasses
+
+    import clover_tpu.ops.window_attention as wa
+    from clover_tpu.models.swin3d import SwinConfig, SwinTransformer3D
+
+    monkeypatch.setattr(wa, "_FLAT2_TRAIN", True)  # CLOVER_WA_FLAT2_TRAIN=1
+
+    cfg_flat = SwinConfig(patch_size=(1, 2, 2), stride=(1, 2, 2),
+                          embed_dim=8, depths=(2,), num_heads=(2,),
+                          window_size=(1, 3, 3), drop_path_rate=0.0,
+                          attention_impl="pallas_flat")
+    cfg_xla = dataclasses.replace(cfg_flat, attention_impl="xla")
+    x = jnp.asarray(rng.normal(size=(2, 3, 2, 6, 6)).astype(np.float32))
+    m_flat, m_xla = SwinTransformer3D(cfg_flat), SwinTransformer3D(cfg_xla)
+    p = m_flat.init(jax.random.PRNGKey(0), x)
+
+    def loss(model):
+        def f(params):
+            out = model.apply(params, x, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(7)})
+            return jnp.sum(out ** 2)
+        return f
+
+    g_flat = jax.grad(loss(m_flat))(p)
+    g_xla = jax.grad(loss(m_xla))(p)
+    flat_leaves, treedef = jax.tree_util.tree_flatten(g_flat)
+    xla_leaves = treedef.flatten_up_to(g_xla)
+    for a, b in zip(flat_leaves, xla_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
