@@ -85,7 +85,8 @@ def _kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
         attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
             logits, v, attn_ref.dtype,
             static_shift=None if not no_max
-            else (130.0 if (lanes and mask_ref is not None) else 30.0))
+            else (130.0 if (lanes and mask_ref is not None) else 30.0),
+            clamp_hi=no_max == "clamp")
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[:], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bp_ref[0]
@@ -255,7 +256,8 @@ def _kernel_grouped(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, bias_ref,
         attn_ref[:, :, h * hd:(h + 1) * hd] = _softmax_pv(
             logits, v, attn_ref.dtype,
             static_shift=None if not no_max
-            else (130.0 if (lanes and mask_ref is not None) else 30.0))
+            else (130.0 if (lanes and mask_ref is not None) else 30.0),
+            clamp_hi=no_max == "clamp")
     y = jax.lax.dot_general(
         attn_ref[:], wp_ref[0], (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # (W, N, C) partial

@@ -523,18 +523,28 @@ _FUSED_SUM = _os.environ.get("CLOVER_WA_FUSED_SUM", "1") != "0"
 # ONLY under a bounded-logit assumption |q·kᵀ·scale + bias| <= ~55: exp
 # underflows at arg ~ -88 (an all-underflow row gives 0/0 = NaN) and
 # overflows at ~ +88; the true row max has neither failure mode. 'auto'
-# therefore enables it on DETERMINISTIC (eval) passes only — trained
-# checkpoints have bounded logits, while mid-training logits can drift —
-# '1' forces it everywhere, '0' disables. Measured: 8-frame eval
-# 520 -> 591 clips/s (+13.7%), 32-frame 138.4 -> 143.5 (+3.7%).
+# therefore uses the bare static shift on DETERMINISTIC (eval) passes —
+# trained checkpoints have bounded logits — and the CLAMPED static shift
+# on training passes: clamping the shifted argument to [-80, 80] makes
+# exp overflow/underflow impossible for ANY logits (one extra fused VPU
+# min; values only distort if a logit exceeds shift+80, i.e. a diverged
+# model — they can never NaN), capturing the forced-shift training win
+# (54.5 -> 55.9 clips/s) without its blow-up risk. '1' forces the bare
+# shift everywhere (the historical forced mode), '0' disables (true
+# row-max everywhere). Measured: 8-frame eval 520 -> 591 clips/s
+# (+13.7%), 32-frame 138.4 -> 143.5 (+3.7%), train +2.4% forced.
 _NO_MAX_MODE = _os.environ.get("CLOVER_WA_NO_MAX", "auto")
 
 
-def no_max_enabled(deterministic: bool) -> bool:
-    """Should this pass skip the row-max (static-shift softmax)?"""
+def no_max_enabled(deterministic: bool):
+    """Static-shift softmax mode for this pass: False (true row-max),
+    True (bare static shift — eval bounded-logit contract), or "clamp"
+    (static shift + two-sided clamp — training-safe)."""
     if _NO_MAX_MODE == "auto":
-        return deterministic
-    return _NO_MAX_MODE != "0"
+        return True if deterministic else "clamp"
+    if _NO_MAX_MODE == "0":
+        return False
+    return True
 
 # Region-lanes shift mask: mask = -100*(1 - delta_same_region) and
 # delta = R·Rᵀ for a per-window region one-hot R (<= 8 columns). Appending
@@ -565,11 +575,15 @@ def lanes_to_additive(lanes):
     return jnp.einsum("wnr,wmr->wnm", lanes, lanes) - 100.0
 
 
-def _softmax_pv(logits, v, out_dtype, static_shift=None):
+def _softmax_pv(logits, v, out_dtype, static_shift=None, clamp_hi=False):
     """(softmax(logits, -1) · v) for logits (W, N, N) f32, v (W, N, hd)
     compute-dtype. Returns (W, N, hd) in out_dtype. static_shift: with
     CLOVER_WA_NO_MAX, subtract this constant instead of the row max
-    (see _NO_MAX for the bounded-logit contract)."""
+    (see _NO_MAX for the bounded-logit contract). clamp_hi: also clamp
+    the shifted argument at +80 so exp cannot overflow — what makes the
+    static shift safe on TRAINING passes, where logits can drift past the
+    eval bounded-logit contract (values distort only when a logit exceeds
+    shift+80, i.e. a diverged model; they can never NaN)."""
     hd = v.shape[-1]
     if not _FUSED_SUM or hd % 128 == 0:
         # full lane tiles: the ones column would add a whole extra tile
@@ -585,10 +599,13 @@ def _softmax_pv(logits, v, out_dtype, static_shift=None):
         # (e^-80 ~ 2e-35 is normal in bf16 and far below any live weight,
         # and for lanes blocks the off-region entries stay >= e^50-fold
         # suppressed unless the row max itself is ~-50). The high side is
-        # covered by the shift (see _NO_MAX_MODE contract). One VPU max
-        # per logit, fused into the exp pass — measured free.
+        # covered by the shift (see _NO_MAX_MODE contract) on eval passes,
+        # by the clamp_hi bound on training passes. One VPU max per logit,
+        # fused into the exp pass — measured free.
         arg = jnp.maximum(logits - jnp.float32(static_shift),
                           jnp.float32(-80.0))
+        if clamp_hi:
+            arg = jnp.minimum(arg, jnp.float32(80.0))
     else:
         m = jnp.max(logits, axis=-1, keepdims=True)
         arg = logits - m
@@ -622,7 +639,9 @@ def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # (W, N, N) f32 acc
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
+        out = _softmax_pv(logits, v, out_ref.dtype,
+                          static_shift=30.0 if no_max else None,
+                          clamp_hi=no_max == "clamp")
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -639,7 +658,9 @@ def _attn_kernel_flat_masked(qkv_ref, bias_ref, mask_ref, out_ref, *,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
+        out = _softmax_pv(logits, v, out_ref.dtype,
+                          static_shift=30.0 if no_max else None,
+                          clamp_hi=no_max == "clamp")
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -663,7 +684,9 @@ def _attn_kernel_flat_lanes(qkv_ref, bias_ref, r_ref, out_ref, *,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0 if no_max else None)
+        out = _softmax_pv(logits, v, out_ref.dtype,
+                          static_shift=130.0 if no_max else None,
+                          clamp_hi=no_max == "clamp")
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -682,7 +705,9 @@ def _attn_kernel_flat_grouped(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
+        out = _softmax_pv(logits, v, out_ref.dtype,
+                          static_shift=30.0 if no_max else None,
+                          clamp_hi=no_max == "clamp")
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -698,7 +723,9 @@ def _attn_kernel_flat_grouped_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref,
             preferred_element_type=jnp.float32)
         logits = (logits + bias_ref[h][None].astype(jnp.float32)
                   + mask_ref[:].astype(jnp.float32))
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=30.0 if no_max else None)
+        out = _softmax_pv(logits, v, out_ref.dtype,
+                          static_shift=30.0 if no_max else None,
+                          clamp_hi=no_max == "clamp")
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -718,7 +745,9 @@ def _attn_kernel_flat_grouped_lanes(q_ref, k_ref, v_ref, bias_ref, r_ref,
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         logits = logits + bias_ref[h][None].astype(jnp.float32)
-        out = _softmax_pv(logits, v, out_ref.dtype, static_shift=130.0 if no_max else None)
+        out = _softmax_pv(logits, v, out_ref.dtype,
+                          static_shift=130.0 if no_max else None,
+                          clamp_hi=no_max == "clamp")
         out_ref[:, :, h * hd:(h + 1) * hd] = out
 
 
@@ -1010,7 +1039,8 @@ def _attn_kernel_flat2(qkv_ref, bias_ref, out_ref, scratch_ref, *,
                 preferred_element_type=jnp.float32)  # (N, N) f32 acc
             logits = logits + bias_ref[h].astype(jnp.float32)
             out = _softmax_pv(logits[None], v[None], out_ref.dtype,
-                              static_shift=30.0 if no_max else None)
+                              static_shift=30.0 if no_max else None,
+                              clamp_hi=no_max == "clamp")
             out_ref[w * N:(w + 1) * N, h * hd:(h + 1) * hd] = out[0]
 
 
@@ -1031,7 +1061,8 @@ def _attn_kernel_flat2_masked(qkv_ref, bias_ref, mask_ref, out_ref,
                 preferred_element_type=jnp.float32)
             logits = logits + bias_ref[h].astype(jnp.float32) + m
             out = _softmax_pv(logits[None], v[None], out_ref.dtype,
-                              static_shift=30.0 if no_max else None)
+                              static_shift=30.0 if no_max else None,
+                              clamp_hi=no_max == "clamp")
             out_ref[w * N:(w + 1) * N, h * hd:(h + 1) * hd] = out[0]
 
 
@@ -1057,7 +1088,8 @@ def _attn_kernel_flat2_lanes(qkv_ref, bias_ref, r_ref, out_ref,
                 preferred_element_type=jnp.float32)
             logits = logits + bias_ref[h].astype(jnp.float32)
             out = _softmax_pv(logits[None], v[None], out_ref.dtype,
-                              static_shift=130.0 if no_max else None)
+                              static_shift=130.0 if no_max else None,
+                              clamp_hi=no_max == "clamp")
             out_ref[w * N:(w + 1) * N, h * hd:(h + 1) * hd] = out[0]
 
 

@@ -479,19 +479,29 @@ def test_no_max_static_shift_softmax(rng, monkeypatch):
     scale = hd ** -0.5
     for m in (None, mask, lanes):
         exact = wa.flat_window_attention(qkv, bias, m, scale, nH, False)
-        fast = wa.flat_window_attention(qkv, bias, m, scale, nH, True)
-        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
-                                   atol=2e-5,
-                                   err_msg=f"mask={'None' if m is None else m.shape}")
+        for mode in (True, "clamp"):
+            fast = wa.flat_window_attention(qkv, bias, m, scale, nH, mode)
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(exact), atol=2e-5,
+                err_msg=f"mask={'None' if m is None else m.shape} "
+                        f"mode={mode}")
 
-    # 'auto' mode gates on deterministic: eval passes skip the max,
-    # training keeps the exact row max (unbounded-logit safety)
+    # clamped mode must stay FINITE on logits far past the eval
+    # bounded-logit contract (the bare shift would overflow exp -> NaN)
+    big = wa.flat_window_attention(200.0 * qkv, bias, None, scale, nH,
+                                   "clamp")
+    assert np.isfinite(np.asarray(big)).all()
+
+    # 'auto' mode gates on deterministic: eval passes use the bare static
+    # shift; TRAINING passes use the clamped shift (overflow-safe for any
+    # logits — see _NO_MAX_MODE)
     monkeypatch.setattr(wa, "_NO_MAX_MODE", "auto")
-    assert wa.no_max_enabled(True) and not wa.no_max_enabled(False)
+    assert wa.no_max_enabled(True) is True
+    assert wa.no_max_enabled(False) == "clamp"
     monkeypatch.setattr(wa, "_NO_MAX_MODE", "0")
     assert not wa.no_max_enabled(True)
     monkeypatch.setattr(wa, "_NO_MAX_MODE", "1")
-    assert wa.no_max_enabled(False)
+    assert wa.no_max_enabled(False) is True
 
 
 def test_region_lanes_degenerate_window_falls_back_to_additive(rng):
