@@ -105,6 +105,22 @@ class CheckpointManager:
             if os.path.exists(meta):
                 os.remove(meta)
 
+    def read_meta(self, step: Optional[int] = None) -> Optional[Dict[str, Any]]:
+        """Metadata json saved alongside a step (epoch, best flags, ...).
+
+        The reference round-trips the epoch through checkpoint meta
+        (epoch_based_runner.py:169-201); resume derives start_epoch from
+        this rather than assuming constant steps/epoch."""
+        self._wait()
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        path = os.path.join(self.directory, f"meta_{step:010d}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     # ------------------------------------------------------------- best
     def _best_file(self) -> str:
         return os.path.join(self.directory, "best.json")

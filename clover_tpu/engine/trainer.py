@@ -89,6 +89,7 @@ class Trainer:
         self.ckpt = ckpt_manager
         self.ema_eval = ema_eval
         self.start_epoch = 0
+        self._epoch = 0  # current epoch, recorded in preemption ckpt meta
 
     def resume(self) -> bool:
         if self.ckpt is None:
@@ -97,9 +98,19 @@ class Trainer:
         if restored is None:
             return False
         self.state = restored
-        steps_per_epoch = max(len(ld) for ld in self.train_loaders)
-        self.start_epoch = int(self.state.step) // max(
-            1, steps_per_epoch * len(self.train_loaders))
+        meta = self.ckpt.read_meta()
+        if meta is not None and "epoch" in meta:
+            # Epoch round-tripped through checkpoint meta (reference
+            # epoch_based_runner.py:169-201): end-of-epoch saves resume at
+            # epoch+1; mid-epoch preemption saves redo the epoch. Robust to
+            # loader lengths changing across the resume.
+            self.start_epoch = int(meta["epoch"]) + (
+                0 if meta.get("preempted") else 1)
+        else:
+            # Legacy checkpoints without meta: assume constant steps/epoch.
+            steps_per_epoch = max(len(ld) for ld in self.train_loaders)
+            self.start_epoch = int(self.state.step) // max(
+                1, steps_per_epoch * len(self.train_loaders))
         self.metrics.log({"resumed_step": int(self.state.step),
                           "resumed_epoch": self.start_epoch})
         return True
@@ -119,7 +130,8 @@ class Trainer:
         def handler(signum, _frame):
             self.metrics.log({"preempted_signal": signum,
                               "step": int(self.state.step)})
-            self.ckpt.save(self.state, meta={"preempted": True})
+            self.ckpt.save(self.state, meta={"preempted": True,
+                                             "epoch": self._epoch})
             raise SystemExit(128 + signum)
 
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -133,6 +145,7 @@ class Trainer:
         window: List[Dict[str, float]] = []
         t_last = time.time()
         for epoch in range(self.start_epoch, self.total_epochs):
+            self._epoch = epoch
             for li, host_batch in interleave_loaders(self.train_loaders, epoch):
                 batch = self.batch_to_device(li, host_batch)
                 self.state, metrics = self.train_steps[li](

@@ -274,3 +274,64 @@ def test_contrastive_alignment_learns(retrieval_setup):
     sim = t @ v.T
     r1 = float(np.mean(sim.argmax(-1) == np.arange(len(sim))))
     assert r1 >= 0.5, f"t2v R@1 after overfit = {r1} (chance 0.125)"
+
+
+class _FakeLoader:
+    """Loader stub: only __len__/epoch are needed by Trainer.resume."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def epoch(self, e):
+        return iter(())
+
+
+def test_resume_epoch_from_meta(tmp_path):
+    """Resume derives start_epoch from checkpoint meta, not step division —
+    correct even when loader lengths change across the resume (reference
+    meta round-trip, epoch_based_runner.py:169-201)."""
+    from clover_tpu.engine.trainer import Trainer
+
+    params = {"w": jnp.arange(4.0)}
+    tx, _ = make_optimizer(params, base_lr=1e-3, total_steps=10)
+    state = TrainState.create(params, tx).replace(step=jnp.asarray(100))
+    mgr = CheckpointManager(str(tmp_path / "c"))
+    mgr.save(state, meta={"epoch": 3})
+
+    def make_trainer(loader_len):
+        return Trainer(
+            state=TrainState.create(params, tx),
+            train_steps=[lambda s, b, r: (s, {})],
+            train_loaders=[_FakeLoader(loader_len)],
+            batch_to_device=lambda li, b: b,
+            rng=jax.random.PRNGKey(0),
+            total_epochs=10,
+            ckpt_manager=mgr,
+        )
+
+    # Loader length changed since the save (100 steps / 7 per epoch would
+    # give epoch 14 by division) — meta wins: end-of-epoch-3 save resumes
+    # at epoch 4.
+    tr = make_trainer(loader_len=7)
+    assert tr.resume()
+    assert tr.start_epoch == 4
+    assert int(tr.state.step) == 100
+
+    # Mid-epoch preemption save redoes the interrupted epoch.
+    mgr2 = CheckpointManager(str(tmp_path / "p"))
+    mgr2.save(state, meta={"epoch": 3, "preempted": True})
+    tr = make_trainer(loader_len=7)
+    tr.ckpt = mgr2
+    assert tr.resume()
+    assert tr.start_epoch == 3
+
+    # Legacy checkpoint without an epoch in meta: falls back to division.
+    mgr3 = CheckpointManager(str(tmp_path / "l"))
+    mgr3.save(state)  # meta has only {"step": 100}
+    tr = make_trainer(loader_len=25)
+    tr.ckpt = mgr3
+    assert tr.resume()
+    assert tr.start_epoch == 4  # 100 // 25
