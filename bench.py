@@ -62,6 +62,191 @@ def _flops_fields(jitted, args, dt_seconds, iters=1):
     return fields
 
 
+def _timed_runs(fn, n: int):
+    """Run ``fn`` (returns wall seconds) n times; (best_dt, all_dts).
+
+    BENCH_REPEAT>1 reports the per-run spread so the headline figure is
+    reproducible rather than best-of-unknown-N (run variance on this relay
+    measured ~1.6%% between driver and local runs)."""
+    dts = [fn() for _ in range(max(1, n))]
+    return min(dts), dts
+
+
+def bench_finetune():
+    """Retrieval-finetune training-step throughput at the reference's
+    actual finetune shape: 12 frames, single Swin + BERT + NCE head
+    (msrvtt_retrieval.py:16 — 12 train frames; finetune_msrvtt_retrieval.py:
+    8-12 — 16 clips/GPU, NormSoftmaxLoss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.engine import TrainState, make_optimizer
+    from clover_tpu.engine.steps import make_retrieval_train_step
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", 16))
+    T = int(os.environ.get("BENCH_FRAMES", 12))
+    ITERS = int(os.environ.get("BENCH_ITERS", 8))
+    ATTN = os.environ.get("BENCH_ATTN", "auto")
+    S, L = 224, 30
+
+    cfg = FinetuneConfig(
+        swin=SwinConfig.base(
+            attention_impl=ATTN,
+            fused_mlp=os.environ.get("BENCH_MLP", "pallas") != "xla",
+            window_resident=os.environ.get("BENCH_WIN_RESIDENT", "1") == "1",
+            use_checkpoint={"1": True, "0": False}.get(
+                os.environ.get("BENCH_REMAT", "0"),
+                tuple(int(s) for s in os.environ.get(
+                    "BENCH_REMAT", "0").split(",")))),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+        task="retrieval",
+    )
+    model = CloverFinetune(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batches = {
+        "imgs": jnp.asarray(rng.normal(size=(ITERS, B, T, S, S, 3))
+                            .astype(np.float32) * 0.5),
+        "token_ids": jnp.asarray(
+            rng.integers(1000, 30000, size=(ITERS, B, L)), jnp.int32),
+        "input_mask": jnp.ones((ITERS, B, L), jnp.int32),
+    }
+    first = {k: v[0] for k, v in batches.items()}
+    params = jax.jit(lambda k, b: model.init(k, b, train=False)["params"])(
+        jax.random.PRNGKey(0), first)
+    jax.block_until_ready(params)
+    tx, _ = make_optimizer(params, base_lr=1.2e-5, total_steps=1000,
+                           warmup_steps=10, grad_clip_norm=15.0)
+    state = TrainState.create(params, tx)
+    step = make_retrieval_train_step(model, jit=False)
+
+    @jax.jit
+    def run_all(state, batches, key):
+        def body(state, batch):
+            state, metrics = step(state, batch, key)
+            return state, metrics["loss"]
+
+        return jax.lax.scan(body, state, batches)
+
+    key = jax.random.PRNGKey(1)
+    state, losses = run_all(state, batches, key)  # compile + warm
+    np.asarray(losses)
+
+    def timed():
+        t0 = time.time()
+        _, losses = run_all(state, batches, key)
+        np.asarray(losses)
+        return time.time() - t0
+
+    dt, dts = _timed_runs(timed, int(os.environ.get("BENCH_REPEAT", 1)))
+    print(json.dumps({
+        "metric": "msrvtt_finetune_train_clips_per_sec_per_chip",
+        "value": round(B * ITERS / dt, 3),
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "batch": B,
+        "frames": T,
+        "iters": ITERS,
+        "seconds": round(dt, 3),
+        "runs": [round(B * ITERS / d, 1) for d in dts] if len(dts) > 1 else None,
+        "attention_impl": ATTN,
+        "device": str(jax.devices()[0]),
+        **_flops_fields(run_all, (state, batches, key), dt, iters=ITERS),
+    }))
+
+
+def bench_itm():
+    """Fusion-tower eval throughput: ITM rerank scoring (pairs/sec).
+
+    The itm retrieval eval's hot loop — cached Swin tokens + text through
+    the 3-layer cross-modal tower + ITM head (reference non-separate
+    forward_test, multimodal_transformer_pretrain.py:220-225; the cached-
+    token protocol is eval_loop.run_itm_retrieval_eval)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", 128))
+    T = int(os.environ.get("BENCH_FRAMES", 8))
+    ITERS = int(os.environ.get("BENCH_ITERS", 32))
+    L = 30
+
+    cfg = FinetuneConfig(
+        swin=SwinConfig.base(),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+        task="retrieval",
+        use_itm_head=True,
+    )
+    model = CloverFinetune(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    tokens_all = jnp.asarray(rng.normal(
+        size=(ITERS, B, T // 2, 49, 1024)).astype(np.float32),
+        jnp.bfloat16)
+    token_all = jnp.asarray(
+        rng.integers(1000, 30000, size=(ITERS, B, L)), jnp.int32)
+    input_mask = jnp.ones((B, L), jnp.int32)
+
+    params = jax.jit(
+        lambda k, vt, tok: model.init(k, vt, tok, input_mask,
+                                      method="itm_pair_score")
+    )(jax.random.PRNGKey(0), tokens_all[0], token_all[0])
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def run_all(params, tokens_all, token_all):
+        def body(carry, inp):
+            vt, tok = inp
+            score = model.apply(params, vt, tok, input_mask,
+                                method="itm_pair_score")
+            return carry + score.sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), (tokens_all, token_all))
+        return total
+
+    out = float(run_all(params, tokens_all, token_all))  # compile + warm
+
+    def timed():
+        t0 = time.time()
+        float(run_all(params, tokens_all, token_all))
+        return time.time() - t0
+
+    dt, dts = _timed_runs(timed, int(os.environ.get("BENCH_REPEAT", 1)))
+    assert np.isfinite(out)
+    print(json.dumps({
+        "metric": "itm_rerank_pairs_per_sec_per_chip",
+        "value": round(B * ITERS / dt, 3),
+        "unit": "pairs/s",
+        "vs_baseline": None,
+        "batch": B,
+        "frames": T,
+        "iters": ITERS,
+        "seconds": round(dt, 3),
+        "runs": [round(B * ITERS / d, 1) for d in dts] if len(dts) > 1 else None,
+        "device": str(jax.devices()[0]),
+        **_flops_fields(run_all, (params, tokens_all, token_all), dt,
+                        iters=ITERS),
+    }))
+
+
 def bench_train():
     """Pretrain training-step throughput (clips/sec, fwd+bwd+AdamW)."""
     import jax
@@ -166,9 +351,205 @@ def bench_train():
     }))
 
 
+class _BenchEvalDataset:
+    """Self-contained eval-shaped dataset for the loader-in-loop bench:
+    decode (synthetic or rawframes) -> canonical resize -> center crop ->
+    uint8 frames + procedural tokens. Mirrors the real eval pipeline's
+    per-sample host work (datasets.py VideoTextDataset test pipeline)."""
+
+    def __init__(self, n: int, T: int, S: int, L: int,
+                 backend_name: str = "synthetic", root: str = ""):
+        from clover_tpu.data.decode import get_backend
+
+        self.n, self.T, self.S, self.L = n, T, S, L
+        self.backend_name = backend_name
+        if backend_name == "rawframes":
+            self.backend = get_backend("rawframes", start_index=0,
+                                       target_short_side=S)
+            self.paths = [os.path.join(root, f"vid_{i:05d}") for i in range(n)]
+        else:
+            self.backend = get_backend("synthetic", height=240, width=320,
+                                       length=64)
+            self.paths = [f"bench_video_{i}.mp4" for i in range(n)]
+
+    @staticmethod
+    def write_rawframes(root: str, n: int, T: int):
+        """Materialize JPEG frame dirs (once) for the rawframes backend."""
+        import cv2
+
+        from clover_tpu.data.decode import SyntheticVideoBackend
+
+        gen = SyntheticVideoBackend(height=240, width=320, length=T)
+        for i in range(n):
+            d = os.path.join(root, f"vid_{i:05d}")
+            if os.path.isdir(d) and len(os.listdir(d)) >= T:
+                continue
+            os.makedirs(d, exist_ok=True)
+            frames = gen.decode(f"bench_video_{i}.mp4", list(range(T)))
+            for t in range(T):
+                cv2.imwrite(os.path.join(d, f"img_{t:05d}.jpg"),
+                            cv2.cvtColor(frames[t], cv2.COLOR_RGB2BGR))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int):
+        import cv2
+
+        frames = self.backend.decode(self.paths[i], list(range(self.T)))
+        # canonical short-side resize + center crop (eval contract)
+        h, w = frames.shape[1:3]
+        scale = self.S / min(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        frames = np.stack([cv2.resize(f, (nw, nh)) for f in frames])
+        y0, x0 = (nh - self.S) // 2, (nw - self.S) // 2
+        frames = frames[:, y0:y0 + self.S, x0:x0 + self.S]
+        rng = np.random.default_rng(i)
+        return {
+            "imgs": frames,
+            "token_ids": rng.integers(1000, 30000, self.L).astype(np.int32),
+            "input_mask": np.ones(self.L, np.int32),
+        }
+
+
+def bench_loader_eval():
+    """BENCH_INPUT=loader: eval throughput with the REAL input pipeline in
+    the measurement loop — DataLoader workers + host_s2d collate +
+    prefetch_to_device + per-batch jit dispatch (the tools/test.py shape),
+    vs the same dispatch pattern fed from pre-staged device batches.
+
+    Reports combined clips/s plus the loader-only and device-only rates so
+    the host-bound gap is explicit (the scan benches assume a saturating
+    feed; the reference's iter time always included data,
+    clover_runner.py:17-34). NOTE this image has 1 host core and reaches
+    the TPU through a relay, so the loader rate here is a floor — see
+    BASELINE.md host-pipeline scaling notes."""
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.data.loader import DataLoader, prefetch_to_device
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+    from clover_tpu.models.swin3d import swin_bias_cache
+
+    B = int(os.environ.get("BENCH_BATCH", 32))
+    T = int(os.environ.get("BENCH_FRAMES", 8))
+    N_BATCHES = int(os.environ.get("BENCH_ITERS", 16))
+    WORKERS = int(os.environ.get("BENCH_WORKERS", 4))
+    BACKEND = os.environ.get("BENCH_LOADER_BACKEND", "synthetic")
+    S, L = 224, 30
+
+    root = ""
+    if BACKEND == "rawframes":
+        root = os.environ.get("BENCH_LOADER_ROOT",
+                              os.path.join(tempfile.gettempdir(),
+                                           f"bench_rawframes_T{T}"))
+        _BenchEvalDataset.write_rawframes(root, N_BATCHES * B, T)
+    ds = _BenchEvalDataset(N_BATCHES * B, T, S, L, BACKEND, root)
+
+    cfg = FinetuneConfig(
+        swin=SwinConfig.base(embed_impl="host_s2d", fold_normalize=True),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+        task="retrieval",
+    )
+    model = CloverFinetune(cfg, dtype=jnp.bfloat16)
+
+    loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
+                        num_workers=WORKERS, host_s2d=cfg.swin.patch_size)
+
+    @jax.jit
+    def step(params, imgs, token_ids, input_mask, bias_cache):
+        v, t = model.apply(params, imgs[:, None], token_ids, input_mask,
+                           bias_cache, method="forward_test")
+        return v.astype(jnp.float32).sum() + t.astype(jnp.float32).sum()
+
+    first = next(iter(loader.epoch(0)))
+    params = jax.jit(
+        lambda k, imgs, tok, m: model.init(k, imgs[:, None], tok, m,
+                                           method="forward_test")
+    )(jax.random.PRNGKey(0), jnp.asarray(first["imgs"]),
+      jnp.asarray(first["token_ids"]), jnp.asarray(first["input_mask"]))
+    jax.block_until_ready(params)
+    bias_cache = jax.jit(lambda p: swin_bias_cache(
+        p["params"]["backbone"], cfg.swin, (T, S, S)))(params)
+    # warm the step compile
+    np.asarray(step(params, jnp.asarray(first["imgs"]),
+                    jnp.asarray(first["token_ids"]),
+                    jnp.asarray(first["input_mask"]), bias_cache))
+
+    # (1) loader-only rate: full host pipeline, nothing dispatched
+    t0 = time.time()
+    n_seen = 0
+    for b in loader.epoch(0):
+        n_seen += b["imgs"].shape[0]
+    loader_dt = time.time() - t0
+
+    # (2) combined: loader -> device prefetch -> per-batch dispatch; one
+    # host sync at the end (outputs are device scalars until then)
+    t0 = time.time()
+    outs = []
+    for b in prefetch_to_device(loader.epoch(0), size=2):
+        outs.append(step(params, b["imgs"], b["token_ids"],
+                         b["input_mask"], bias_cache))
+    total = float(sum(np.asarray(o) for o in outs))
+    combined_dt = time.time() - t0
+    assert np.isfinite(total)
+
+    # (3) device-only: identical dispatch pattern from pre-staged batches
+    staged = [jax.tree_util.tree_map(jnp.asarray, b)
+              for b in loader.epoch(0)]
+    outs = [step(params, b["imgs"], b["token_ids"], b["input_mask"],
+                 bias_cache) for b in staged]  # warm queue once
+    float(sum(np.asarray(o) for o in outs))
+    t0 = time.time()
+    outs = [step(params, b["imgs"], b["token_ids"], b["input_mask"],
+                 bias_cache) for b in staged]
+    float(sum(np.asarray(o) for o in outs))
+    device_dt = time.time() - t0
+
+    clips = n_seen
+    combined = clips / combined_dt
+    print(json.dumps({
+        "metric": "msrvtt_eval_loader_in_loop_clips_per_sec_per_chip",
+        "value": round(combined, 3),
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "batch": B,
+        "frames": T,
+        "batches": N_BATCHES,
+        "workers": WORKERS,
+        "loader_backend": BACKEND,
+        "seconds": round(combined_dt, 3),
+        "loader_only_clips_per_sec": round(clips / loader_dt, 3),
+        "device_only_clips_per_sec": round(clips / device_dt, 3),
+        # fraction of the combined wall the device sat idle waiting on host
+        "device_idle_frac": round(max(0.0, 1.0 - device_dt / combined_dt), 4),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def main():
-    if os.environ.get("BENCH_MODE", "eval") == "train":
+    mode = os.environ.get("BENCH_MODE", "eval")
+    if mode == "train":
         bench_train()
+        return
+    if mode == "finetune":
+        bench_finetune()
+        return
+    if mode == "itm":
+        bench_itm()
+        return
+    if os.environ.get("BENCH_INPUT") == "loader":
+        bench_loader_eval()
         return
     import jax
     import jax.numpy as jnp

@@ -32,9 +32,15 @@ import numpy as np
 
 from clover_tpu.parallel.mesh import shard_batch_pytree
 
-# fork-inherited dataset registry for process workers (set pre-fork in the
-# parent; children read it without any per-task pickling)
+# per-worker dataset registry for process workers: populated by the pool
+# initializer (pickled once per worker at pool start under the spawn
+# context, inherited under fork); per-task traffic is indices out and
+# sample arrays back only
 _WORKER_DATASETS: Dict[int, Any] = {}
+
+
+def _worker_init(ds_key, dataset):
+    _WORKER_DATASETS[ds_key] = dataset
 
 
 def _process_fetch(args):
@@ -200,9 +206,21 @@ class DataLoader:
     def _get_pool(self):
         if self._pool is None:
             key = id(self.dataset)
-            _WORKER_DATASETS[key] = self.dataset   # pre-fork: inherited
-            ctx = multiprocessing.get_context("fork")
-            self._pool = ctx.Pool(self.num_workers)
+            # 'process' uses the SPAWN context: os.fork() below a live JAX
+            # runtime duplicates a process whose background threads hold
+            # locks — CPython warns and the child can deadlock on a
+            # many-core host. Spawn pays a one-time per-worker import +
+            # dataset pickle instead. 'fork' remains available explicitly
+            # for pure-host pipelines started before any jax import.
+            ctx_name = "fork" if self.worker_type == "fork" else "spawn"
+            ctx = multiprocessing.get_context(ctx_name)
+            if ctx_name == "fork":
+                _WORKER_DATASETS[key] = self.dataset   # pre-fork: inherited
+                self._pool = ctx.Pool(self.num_workers)
+            else:
+                self._pool = ctx.Pool(
+                    self.num_workers, initializer=_worker_init,
+                    initargs=(key, self.dataset))
             self._ds_key = key
         return self._pool
 

@@ -44,6 +44,29 @@ class CheckpointManager:
         self.async_save = async_save
         self._ckpt = ocp.PyTreeCheckpointer() if _HAVE_ORBAX else None
         self._inflight = None
+        # best-metric state cached in memory so every process computes the
+        # SAME is_best (only rank 0 has best.json on disk); synced from rank
+        # 0 at construction so a resumed multi-process run stays consistent
+        self._best = self._read_best_synced()
+
+    def _read_best_synced(self) -> Optional[Dict[str, Any]]:
+        best = None
+        if os.path.exists(self._best_file()):
+            with open(self._best_file()) as f:
+                best = json.load(f)
+        if jax.process_count() > 1:
+            # every rank constructs the manager at the same program point,
+            # so this broadcast is aligned across processes
+            from jax.experimental import multihost_utils
+
+            has = best is not None
+            arr = np.array([float(has),
+                            float(best["step"]) if has else 0.0,
+                            float(best["value"]) if has else 0.0])
+            arr = np.asarray(multihost_utils.broadcast_one_to_all(arr))
+            best = ({"step": int(arr[1]), "value": float(arr[2])}
+                    if arr[0] > 0.5 else None)
+        return best
 
     def _wait(self):
         if self._inflight is not None:
@@ -75,17 +98,25 @@ class CheckpointManager:
         path = self._path(step)
         payload = _state_payload(state)
         payload = jax.tree_util.tree_map(np.asarray, payload)  # sync snapshot
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        multiproc = jax.process_count() > 1
 
         def write():
-            self._ckpt.save(path, payload)
-            with open(os.path.join(self.directory,
-                                   f"meta_{step:010d}.json"), "w") as f:
-                json.dump({"step": step, **(meta or {})}, f)
-            self._prune()
+            # Orbax save MUST run on every process — it executes
+            # cross-process barriers internally and writes from the primary
+            # host only (a rank-0-only call deadlocks/desyncs the other
+            # ranks' next collective). Shared checkpoint filesystem is the
+            # JAX/orbax multi-host convention (GCS on pods); meta json +
+            # pruning are plain filesystem ops and stay rank-0-only.
+            self._ckpt.save(path, payload, force=True)
+            if jax.process_index() == 0:
+                with open(os.path.join(self.directory,
+                                       f"meta_{step:010d}.json"), "w") as f:
+                    json.dump({"step": step, **(meta or {})}, f)
+                self._prune()
 
-        if self.async_save:
+        if self.async_save and not multiproc:
+            # multi-process saves stay synchronous: orbax's barriers must
+            # not interleave with the main thread's training collectives
             import threading
 
             self._inflight = threading.Thread(target=write, daemon=False)
@@ -135,18 +166,19 @@ class CheckpointManager:
                     greater_is_better: bool = True) -> bool:
         """Track the best eval metric; returns True if this step is new best
         (reference eval-hook best-ckpt logic, my_eval_hook.py:666-736)."""
-        best = None
-        if os.path.exists(self._best_file()):
-            with open(self._best_file()) as f:
-                best = json.load(f)
+        best = self._best
         is_best = (
             best is None
             or (value > best["value"]) == greater_is_better
             and value != best["value"]
         )
         if is_best:
-            with open(self._best_file(), "w") as f:
-                json.dump({"step": step, "key": key, "value": value}, f)
+            # cache on every rank (eval metrics are identical across ranks,
+            # so is_best stays rank-consistent); only rank 0 persists
+            self._best = {"step": step, "key": key, "value": value}
+            if jax.process_index() == 0:
+                with open(self._best_file(), "w") as f:
+                    json.dump(self._best, f)
         return is_best
 
     # ------------------------------------------------------------- load

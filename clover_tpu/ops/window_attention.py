@@ -2142,7 +2142,12 @@ def _flat2_bwd_feasible(nH: int, N: int, hd: int, itemsize: int,
             + Np_s * _pad_to(3 * C, 128) * itemsize         # qkv scratch
             + Np_s * _pad_to(C, 128) * itemsize             # g scratch
             + 3 * Np_s * Np_l * 4                           # logits/dp/dlog
-            + 2 * Np_s * Np_l * itemsize)                   # p/dlog_b casts
+            + 2 * Np_s * Np_l * itemsize                    # p/dlog_b casts
+            + 2 * Np_s * Np_l * 4)    # per-window f32 mask + per-head f32
+                                      # bias cast temps (same convention as
+                                      # _flat2_feasible's 'mask/bias f32'
+                                      # term — estimator divergence caused
+                                      # a real scoped-vmem OOM before)
     return need <= _FLAT_VMEM_BUDGET
 
 

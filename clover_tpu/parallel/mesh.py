@@ -76,9 +76,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_pytree(batch, mesh: Mesh, axis: str = "data"):
-    """device_put a host batch with its leading dim sharded over ``axis``."""
+    """Place a host batch with its leading dim sharded over ``axis``.
+
+    Single-process: a plain sharded device_put. Multi-process: each process
+    holds only its LOCAL rows (the rank-strided loader shard), so the global
+    array is assembled with ``make_array_from_process_local_data`` — the
+    JAX equivalent of the reference's one-DistributedSampler-per-rank DDP
+    feed (samplers/distributed_sampler.py)."""
+    multiproc = jax.process_count() > 1
 
     def put(x):
-        return jax.device_put(x, batch_sharding(mesh, axis, np.ndim(x)))
+        sh = batch_sharding(mesh, axis, np.ndim(x))
+        if multiproc and np.ndim(x) >= 1:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def replicate_pytree(tree, mesh: Mesh):
+    """Replicate a host pytree across every device of ``mesh``.
+
+    Multi-process safe: every process must pass the SAME host values (e.g.
+    params from an identical seeded init, or a checkpoint restore) —
+    device_put then treats them as the global value on a fully-replicated
+    sharding, giving jit inputs that span all processes' devices."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sh), tree)

@@ -1,0 +1,201 @@
+"""REAL multi-process distributed tests: 2 CPU processes under
+``jax.distributed.initialize`` (Gloo collectives), replacing trust in the
+monkeypatched simulation of test_multihost_gather.py.
+
+Covers the reference's actual L1 contract (tools/ddist_train.sh ran
+4 hosts x 8 GPUs; apis/test.py:160-205 collected results across ranks):
+  (a) a psum'd data-parallel train step over 2 processes matches the
+      single-process full-batch step (values + updated params),
+  (b) ``_host_gather`` with RAGGED per-rank result counts reassembles the
+      global result set (pad+count protocol) through a real
+      ``process_allgather``,
+  (c) ``tools/train.py --distributed`` runs end-to-end (2 processes,
+      rank-strided loader shards, global batch stitched by
+      ``make_array_from_process_local_data``, rank-0-only checkpoints).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_pair(script: str, timeout: int = 600, extra_env=None):
+    """Launch the script as 2 jax.distributed processes; return outputs."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # no virtual-device splitting: 1 dev/proc
+    env["USE_TF"] = "0"
+    env.update(extra_env or {})
+    procs = []
+    for pid in (0, 1):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, str(pid), str(port)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+    return outs
+
+
+_PREAMBLE = """
+import os, sys
+os.environ.setdefault("USE_TF", "0")
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, port = int(sys.argv[1]), sys.argv[2]
+jax.distributed.initialize(f"localhost:{{port}}", num_processes=2,
+                           process_id=pid)
+assert jax.process_count() == 2
+import numpy as np
+import jax.numpy as jnp
+""".format(repo=REPO)
+
+
+@pytest.mark.slow
+def test_two_process_psum_train_step_matches_single():
+    """A DP train step over 2 real processes: the global batch is stitched
+    from per-rank shards, gradients are psum'd by GSPMD, and the loss and
+    updated params match an independent single-process computation."""
+    script = _PREAMBLE + textwrap.dedent("""
+        from clover_tpu.engine import TrainState, make_optimizer
+        from clover_tpu.parallel import make_mesh, shard_batch_pytree
+        from clover_tpu.parallel.mesh import replicate_pytree
+
+        mesh = make_mesh(axis_names=("data",))
+        assert mesh.devices.size == 2  # one device per process
+
+        # deterministic toy regression: global batch 8, rank r holds rows
+        # [4r:4r+4] (the rank-strided loader contract)
+        Xg = np.arange(16.0).reshape(8, 2) / 10.0
+        yg = Xg @ np.array([1.5, -2.0]) + 0.25
+        local = {"x": Xg[pid * 4:(pid + 1) * 4], "y": yg[pid * 4:(pid + 1) * 4]}
+        batch = shard_batch_pytree(local, mesh)
+        assert batch["x"].shape == (8, 2)  # global shape
+
+        params = {"w": jnp.zeros((2,)), "b": jnp.zeros(())}
+        tx, _ = make_optimizer(params, base_lr=0.1, total_steps=10,
+                               weight_decay=0.0)
+        state = TrainState.create(replicate_pytree(params, mesh), tx)
+
+        def loss_fn(p, b):
+            pred = b["x"] @ p["w"] + p["b"]
+            return jnp.mean((pred - b["y"]) ** 2)
+
+        @jax.jit
+        def step(state, b):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, b)
+            return state.apply_gradients(grads), loss
+
+        state, loss = step(state, batch)
+        loss = float(np.asarray(jax.device_get(loss)))
+        w1 = np.asarray(jax.device_get(state.params["w"]))
+
+        # independent single-process reference on the full batch
+        ref_params = {"w": jnp.zeros((2,)), "b": jnp.zeros(())}
+        ref_tx, _ = make_optimizer(ref_params, base_lr=0.1, total_steps=10,
+                                   weight_decay=0.0)
+        ref_state = TrainState.create(ref_params, ref_tx)
+        gb = {"x": jnp.asarray(Xg), "y": jnp.asarray(yg)}
+        ref_loss, ref_grads = jax.value_and_grad(loss_fn)(ref_state.params, gb)
+        ref_state = ref_state.apply_gradients(ref_grads)
+
+        np.testing.assert_allclose(loss, float(ref_loss), rtol=1e-6)
+        np.testing.assert_allclose(
+            w1, np.asarray(ref_state.params["w"]), rtol=1e-6)
+        print(f"RANK{pid}_OK loss={loss:.6f}")
+    """)
+    outs = _run_pair(script)
+    for pid, out in enumerate(outs):
+        assert f"RANK{pid}_OK" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_ragged_host_gather():
+    """_host_gather through a REAL process_allgather with ragged counts
+    (rank 0: 2 rows, rank 1: 3 rows incl. a cross-rank duplicate index)."""
+    script = _PREAMBLE + textwrap.dedent("""
+        import clover_tpu.engine.eval_loop as EL
+
+        if pid == 0:
+            v = np.array([[0.0], [1.0]]); idx = np.array([0, 1])
+        else:
+            v = np.array([[2.0], [0.5], [7.0]]); idx = np.array([2, 0, 3])
+        gv, gidx = EL._host_gather(v, idx)
+        assert gv.shape == (5, 1), gv.shape
+        np.testing.assert_array_equal(gidx, [0, 1, 2, 0, 3])
+        (v_sorted,) = EL._dedup_sort(gidx, gv)
+        np.testing.assert_array_equal(v_sorted[:, 0], [0.0, 1.0, 2.0, 7.0])
+        print(f"RANK{pid}_OK")
+    """)
+    outs = _run_pair(script)
+    for pid, out in enumerate(outs):
+        assert f"RANK{pid}_OK" in out, out
+
+
+@pytest.mark.slow
+def test_train_cli_distributed_two_process(tmp_path):
+    """tools/train.py --distributed end-to-end with 2 real processes on the
+    synthetic debug config: completes, rank 0 writes metrics + checkpoints,
+    and the logged losses are finite."""
+    port = _free_port()
+    work = tmp_path / "ddp"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["USE_TF"] = "0"
+    env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+    env["JAX_NUM_PROCESSES"] = "2"
+    procs = []
+    for pid in (0, 1):
+        e = dict(env)
+        e["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "train.py"),
+             os.path.join(REPO, "configs", "exp",
+                          "debug_retrieval_synthetic.py"),
+             "--cpu", "--distributed", "--work-dir", str(work)],
+            env=e, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-4000:]}"
+        assert "training done" in out, out[-2000:]
+    # rank 0 owns the artifacts
+    metrics = [json.loads(l)
+               for l in open(work / "metrics.jsonl").read().splitlines()]
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert losses and all(np.isfinite(losses))
+    ckpts = [d for d in os.listdir(work / "checkpoints")
+             if d.startswith("step_")]
+    assert ckpts, os.listdir(work / "checkpoints")

@@ -49,11 +49,21 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     if args.distributed:
-        # one process per host; TPU pods auto-detect coordinator/topology,
-        # other platforms read the JAX_* env vars (see docs/SCALING.md)
+        # one process per host; TPU pods/SLURM/MPI auto-detect coordinator
+        # and topology. Other launchers (incl. plain shell, like the
+        # reference's ddist_train.sh MASTER_ADDR convention) pass the JAX_*
+        # env vars, which jax's auto-detect does NOT read — forward them
+        # explicitly (see docs/SCALING.md).
         import jax
 
-        jax.distributed.initialize()
+        def _env(name, cast=str):
+            v = os.environ.get(name)
+            return cast(v) if v is not None else None
+
+        jax.distributed.initialize(
+            coordinator_address=_env("JAX_COORDINATOR_ADDRESS"),
+            num_processes=_env("JAX_NUM_PROCESSES", int),
+            process_id=_env("JAX_PROCESS_ID", int))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -88,7 +98,8 @@ def main():
     work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
-    cfg.dump(os.path.join(work_dir, "config.json"))
+    if jax.process_index() == 0:
+        cfg.dump(os.path.join(work_dir, "config.json"))
 
     # mesh axes from the config's parallel section (fsdp / tensor-parallel
     # are capabilities beyond the DP-only reference, SURVEY.md §2.5);
@@ -217,6 +228,15 @@ def main():
         params = type(params)(merged) if not isinstance(params, dict) else merged
         logger.info("load_from %s: loaded %s; fresh %s", load_from, loaded, fresh)
 
+    if world > 1 and fsdp_size == 1 and model_size == 1:
+        # multi-process DP: params start as process-local arrays from the
+        # jitted init (every rank computes the identical seeded values);
+        # re-place them as ONE global fully-replicated array so the train
+        # step's jit sees inputs spanning all processes' devices
+        from clover_tpu.parallel.mesh import replicate_pytree
+
+        params = replicate_pytree(params, mesh)
+
     if fsdp_size > 1 or model_size > 1:
         # place params on their fsdp/tp shardings (after any warm start);
         # the optimizer state created from them inherits the placements and
@@ -340,7 +360,9 @@ def main():
         batch_to_device=batch_to_device,
         rng=jax.random.PRNGKey(args.seed + 1),
         total_epochs=cfg.total_epochs,
-        work_dir=work_dir,
+        # only rank 0 writes metrics.jsonl/tb (reference DDP convention);
+        # every rank still logs to its own stdout
+        work_dir=work_dir if jax.process_index() == 0 else None,
         log_interval=cfg.get("log_interval", 20),
         eval_fn=eval_fn,
         eval_interval=eval_cfg.get("interval", 1),
