@@ -35,6 +35,25 @@ def _state_payload(state) -> Dict[str, Any]:
     return payload
 
 
+def merge_pretrained_params(params, pretrained):
+    """Weights-only warm-start merge (reference load_from,
+    tools/train.py:252-253): top-level tower subtrees whose structure
+    matches are taken from ``pretrained``; everything else keeps its fresh
+    init (e.g. a converted pretrain checkpoint warm-starting a finetune
+    model that adds QA heads). Returns (merged, loaded_keys, fresh_keys)."""
+    loaded, fresh = [], []
+    merged = dict(params)
+    for key in params:
+        if key in pretrained and jax.tree_util.tree_structure(
+                params[key]) == jax.tree_util.tree_structure(pretrained[key]):
+            merged[key] = pretrained[key]
+            loaded.append(key)
+        else:
+            fresh.append(key)
+    out = type(params)(merged) if not isinstance(params, dict) else merged
+    return out, loaded, fresh
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3,
                  async_save: bool = False):

@@ -170,6 +170,49 @@ def relative_position_index(full_window: Tuple3, eff_window: Tuple3) -> np.ndarr
     return rel.sum(-1).astype(np.int32)
 
 
+_BIAS_MATMUL = _os.environ.get("CLOVER_BIAS_MATMUL", "1") != "0"
+
+
+@functools.lru_cache(maxsize=None)
+def _rel_onehot_factors(full_window: Tuple3, eff_window: Tuple3):
+    """Per-dim one-hot factors O[a, b, r] = 1[a - b + W - 1 == r]: the
+    relative-position index is separable over (d, h, w), so the (N, N)
+    table gather factorizes into three tiny dense contractions."""
+    outs = []
+    for w, W in zip(eff_window, full_window):
+        a = np.arange(w)
+        oh = np.zeros((w, w, 2 * W - 1), np.float32)
+        oh[a[:, None], a[None, :], a[:, None] - a[None, :] + W - 1] = 1.0
+        outs.append(oh)
+    return tuple(outs)
+
+
+def bias_from_table(bias_table: jax.Array, full_window: Tuple3,
+                    eff_window: Tuple3, num_heads: int) -> jax.Array:
+    """(table_len, nH) trainable table -> (nH, N, N) attention bias.
+
+    Default: the reference's bias_table[rp_index] row-gather
+    (swin_transformer_3d.py:380-384) expressed as an einsum against
+    trace-time one-hot factors — bit-identical values (each output sums
+    exactly one table entry; pinned by tests), but the BACKWARD becomes
+    three dense MXU contractions instead of XLA's serial (N², table_len)
+    scatter-add, which the r3 train profile measured at ~4.8 ms/iter for
+    Swin-B stage 2 alone. CLOVER_BIAS_MATMUL=0 restores the gather (and
+    its scatter-add vjp)."""
+    N = int(np.prod(eff_window))
+    if not _BIAS_MATMUL:
+        rp_index = relative_position_index(tuple(full_window),
+                                           tuple(eff_window))
+        return bias_table[rp_index.reshape(-1)].reshape(
+            N, N, num_heads).transpose(2, 0, 1)
+    Od, Oh, Ow = (jnp.asarray(o) for o in _rel_onehot_factors(
+        tuple(full_window), tuple(eff_window)))
+    t3 = bias_table.reshape(
+        tuple(2 * w - 1 for w in full_window) + (num_heads,))
+    b = jnp.einsum("xyzn,abx,cdy,efz->nacebdf", t3, Od, Oh, Ow)
+    return b.reshape(num_heads, N, N)
+
+
 @functools.lru_cache(maxsize=None)
 def _shift_region_ids(
     padded_size: Tuple3, window: Tuple3, shift: Tuple3
@@ -470,9 +513,8 @@ class WindowAttention3D(nn.Module):
             # (swin_bias_cache) to skip the per-step table row-gather
             if bias_override is not None:
                 return bias_override
-            rp_index = relative_position_index(self.full_window, eff_window)
-            return bias_table[rp_index.reshape(-1)].reshape(
-                N, N, self.num_heads).transpose(2, 0, 1)
+            return bias_from_table(bias_table, self.full_window,
+                                   tuple(eff_window), self.num_heads)
 
         if x.ndim == 5:
             # fused spatial path (attention_impl='pallas_fused'): windows
@@ -895,9 +937,8 @@ class SwinBlock3D(nn.Module):
         if bias_cache is not None:
             bias = bias_cache
         else:
-            rp_index = relative_position_index(self.window_size, tuple(window))
-            bias = bias_table[rp_index.reshape(-1)].reshape(
-                N, N, self.num_heads).transpose(2, 0, 1)
+            bias = bias_from_table(bias_table, tuple(self.window_size),
+                                   tuple(window), self.num_heads)
         head_dim = self.dim // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
         qkv_bias_val = (b_qkv if self.qkv_bias
@@ -938,9 +979,9 @@ class SwinBlock3D(nn.Module):
                   "proj": {"kernel": k_proj, "bias": b_proj},
                   "relative_position_bias_table": bias_table}
 
-        rp_index = relative_position_index(self.window_size, tuple(window))
-        bias = p_attn["relative_position_bias_table"][
-            rp_index.reshape(-1)].reshape(N, N, self.num_heads).transpose(2, 0, 1)
+        bias = bias_from_table(p_attn["relative_position_bias_table"],
+                               tuple(self.window_size), tuple(window),
+                               self.num_heads)
 
         do_shift = any(s > 0 for s in shift)
         if do_shift:

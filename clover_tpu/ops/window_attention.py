@@ -624,6 +624,89 @@ def _softmax_pv(logits, v, out_dtype, static_shift=None, clamp_hi=False):
             * jax.lax.reciprocal(o[:, :, hd:])).astype(out_dtype)
 
 
+_BWD_DELTA = _os.environ.get("CLOVER_WA_BWD_DELTA", "0") == "1"
+
+
+def _bwd_softmax_core(logits, v, g_h, dt, no_max, lanes):
+    """Delta-trick softmax backward shared by every fused bwd kernel (r3).
+
+    Replaces the materialize-p32 form (max/sub/exp/sum/normalize/cast +
+    dp·p multiply + row reduce + dlog ≈ 9 N² VPU passes) with the
+    flash-attention backward identity sum_k(dp·p)[q] = g[q]·out[q]:
+
+      e   = exp(logits - shift)            # static shift/clamp matches the
+                                           # forward (same softmax values)
+      oa  = e_b · [v | 1]                  # unnormalized out + row sum s,
+                                           # riding ONE (hd+1)-lane dot
+      D   = rowsum(g ⊙ oa[:hd]) / s        # the (N, hd) delta reduce
+      dv  = e_bᵀ · (g / s)                 # 1/s folded into a row scale
+      dlog = e ⊙ ((dp − D) / s)
+
+    N² VPU passes drop to ~5 (exp incl. fused shift-clamp, e cast, fused
+    dlog mul-sub, dlog cast) for one extra (N, hd+1)-lane MXU dot — free
+    at hd=32 where output lanes pad to 128 anyway. The stage-2 train
+    profile showed the bwd kernels at 4.2x their forwards on 2.5x the
+    flops — these passes were the gap.
+
+    Exactness: with ``no_max`` the recompute uses the SAME static
+    shift/clamp as the forward kernel, so p matches the forward's softmax
+    bit-for-bit up to fp rounding of the shared scale; with no_max=False
+    the true row max is used (mathematically the same softmax either way).
+
+    The delta form is opt-in (CLOVER_WA_BWD_DELTA=1): it MEASURED SLOWER
+    end-to-end (52.1 vs 55.3 clips/s pretrain train, 2026-08-19) — see
+    the inline note. The shipped default keeps the p32 form with the
+    static-shift recompute.
+
+    logits (..., Nq, Nk) f32; v (..., Nk, hd), g_h (..., Nq, hd) in dt.
+    Returns (dv f32 (..., Nk, hd), dlog f32 (..., Nq, Nk), dlog_b dt);
+    works batched (W, ...) or unbatched (flat2's per-window 2-D slices).
+    """
+    nb = logits.ndim - 2
+    bd = tuple(range(nb))
+    hd = v.shape[-1]
+    if no_max:
+        shift = 130.0 if lanes else 30.0
+        arg = jnp.maximum(logits - jnp.float32(shift), jnp.float32(-80.0))
+        if no_max == "clamp":
+            arg = jnp.minimum(arg, jnp.float32(80.0))
+    else:
+        arg = logits - jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(arg)
+    if not _BWD_DELTA or hd % 128 == 0:
+        # p32 form — MEASURED FASTER than the delta form below on the
+        # pretrain train step (55.3 vs 52.1 clips/s, 2026-08-19), matching
+        # the r2 finding that the r-factored softmax vjp lost ~5%: these
+        # kernels are MXU/dependency-bound at train shapes, and the delta
+        # form's extra dot + row-broadcast chain (e -> oa -> 1/s -> gp ->
+        # dv) serializes against the MXU where the p32 form's dv consumed
+        # a VPU-only input. The static shift above still applies (pure
+        # reduce removal). hd % 128 == 0 also lands here (the ones column
+        # would cost a whole extra lane tile — _softmax_pv's gate).
+        p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
+        p = p32.astype(dt)
+        dv = jax.lax.dot_general(p, g_h, (((nb,), (nb,)), (bd, bd)),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g_h, v, (((nb + 1,), (nb + 1,)), (bd, bd)),
+                                 preferred_element_type=jnp.float32)
+        dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        return dv, dlog, dlog.astype(dt)
+    e_b = e.astype(dt)
+    v1 = jnp.concatenate([v, jnp.ones(v.shape[:-1] + (1,), dt)], axis=-1)
+    oa = jax.lax.dot_general(e_b, v1, (((nb + 1,), (nb,)), (bd, bd)),
+                             preferred_element_type=jnp.float32)
+    inv = jax.lax.reciprocal(oa[..., hd:])                 # 1/s (..., Nq, 1)
+    g32 = g_h.astype(jnp.float32)
+    D = jnp.sum(g32 * oa[..., :hd], axis=-1, keepdims=True) * inv
+    gp = (g32 * inv).astype(dt)
+    dv = jax.lax.dot_general(e_b, gp, (((nb,), (nb,)), (bd, bd)),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(g_h, v, (((nb + 1,), (nb + 1,)), (bd, bd)),
+                             preferred_element_type=jnp.float32)
+    dlog = e * ((dp - D) * inv)
+    return dv, dlog, dlog.astype(dt)
+
+
 def _attn_kernel_flat(qkv_ref, bias_ref, out_ref, *, scale, nH, hd,
                       no_max=False):
     C = nH * hd
@@ -1569,7 +1652,8 @@ def _xla_flat_reference(qkv, bias, mask, scale, num_heads,
 
 
 def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
-                          scale, nH, hd, n_i, mask_ref=None, r_ref=None):
+                          scale, nH, hd, n_i, mask_ref=None, r_ref=None,
+                          no_max=False):
     C = nH * hd
     i = pl.program_id(0)
 
@@ -1602,25 +1686,9 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        # NOTE: the r-factored form (scale g rows by 1/sum(e) and keep e
-        # unnormalized) measured ~5% SLOWER than materializing p32 — the
-        # broadcast multiplies cost more than the saved pass
-        p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
-        p = p32.astype(qkv_ref.dtype)
         g_h = g_ref[:, :, h * hd:(h + 1) * hd]               # (W, Nq, hd)
-        # dv = p^T g  (contract the query axis)
-        dv = jax.lax.dot_general(
-            p, g_h, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (W, Nk, hd)
-        # dp = g v^T  (contract hd)
-        dp = jax.lax.dot_general(
-            g_h, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
-        # softmax vjp: dlogits = p * (dp - sum(dp * p, keys))
-        dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
-        dlog_b = dlog.astype(qkv_ref.dtype)
+        dv, dlog, dlog_b = _bwd_softmax_core(
+            logits, v, g_h, qkv_ref.dtype, no_max, r is not None)
         dq = jax.lax.dot_general(
             dlog_b, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale      # (W, Nq, hd)
@@ -1636,22 +1704,25 @@ def _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
 
 
 def _attn_kernel_flat_bwd_masked(qkv_ref, bias_ref, g_ref, mask_ref,
-                                 dqkv_ref, dbias_ref, *, scale, nH, hd, n_i):
+                                 dqkv_ref, dbias_ref, *, scale, nH, hd, n_i,
+                                 no_max=False):
     _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
                           scale=scale, nH=nH, hd=hd, n_i=n_i,
-                          mask_ref=mask_ref)
+                          mask_ref=mask_ref, no_max=no_max)
 
 
 def _attn_kernel_flat_bwd_lanes(qkv_ref, bias_ref, g_ref, r_ref,
-                                dqkv_ref, dbias_ref, *, scale, nH, hd, n_i):
+                                dqkv_ref, dbias_ref, *, scale, nH, hd, n_i,
+                                no_max=False):
     _attn_kernel_flat_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
-                          scale=scale, nH=nH, hd=hd, n_i=n_i, r_ref=r_ref)
+                          scale=scale, nH=nH, hd=hd, n_i=n_i, r_ref=r_ref,
+                          no_max=no_max)
 
 
 def _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                   dq_ref, dk_ref, dv_ref, dbias_ref, *,
                                   scale, G, hd, n_i, mask_ref=None,
-                                  r_ref=None):
+                                  r_ref=None, no_max=False):
     """Head-GROUP-tiled flat attention backward: grid (nG, Bn//W), i fastest
     so the group's dbias block stays VMEM-resident across the whole window
     sweep. q/k/v/g and dq/dk/dv are lane-sliced BlockSpec views of the flat
@@ -1685,20 +1756,9 @@ def _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
         logits = logits + bias_ref[h][None].astype(jnp.float32)
         if mask_ref is not None:
             logits = logits + mask_ref[:].astype(jnp.float32)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        # p32 form — see the same note in _attn_kernel_flat_bwd
-        p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
-        p = p32.astype(q_ref.dtype)
         g_h = g_ref[:, :, h * hd:(h + 1) * hd]               # (W, Nq, hd)
-        dv = jax.lax.dot_general(
-            p, g_h, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (W, Nk, hd)
-        dp = jax.lax.dot_general(
-            g_h, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (W, Nq, Nk)
-        dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
-        dlog_b = dlog.astype(q_ref.dtype)
+        dv, dlog, dlog_b = _bwd_softmax_core(
+            logits, v, g_h, q_ref.dtype, no_max, r is not None)
         dq = jax.lax.dot_general(
             dlog_b, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
@@ -1713,20 +1773,22 @@ def _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
 
 def _attn_kernel_flat_bwd_grouped_masked(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                          mask_ref, dq_ref, dk_ref, dv_ref,
-                                         dbias_ref, *, scale, G, hd, n_i):
+                                         dbias_ref, *, scale, G, hd, n_i,
+                                         no_max=False):
     _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                   dq_ref, dk_ref, dv_ref, dbias_ref,
                                   scale=scale, G=G, hd=hd, n_i=n_i,
-                                  mask_ref=mask_ref)
+                                  mask_ref=mask_ref, no_max=no_max)
 
 
 def _attn_kernel_flat_bwd_grouped_lanes(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                         r_ref, dq_ref, dk_ref, dv_ref,
-                                        dbias_ref, *, scale, G, hd, n_i):
+                                        dbias_ref, *, scale, G, hd, n_i,
+                                        no_max=False):
     _attn_kernel_flat_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
                                   dq_ref, dk_ref, dv_ref, dbias_ref,
                                   scale=scale, G=G, hd=hd, n_i=n_i,
-                                  r_ref=r_ref)
+                                  r_ref=r_ref, no_max=no_max)
 
 
 def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
@@ -1761,7 +1823,8 @@ def _pick_group_block_bwd(Bn: int, nH: int, N: int, hd: int,
     return 0, 0
 
 
-def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g):
+def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g,
+                           no_max=False):
     """Grouped-grid fused bwd: (dqkv, dbias) or None if infeasible."""
     Bn, N, threeC = qkv.shape
     C = threeC // 3
@@ -1800,7 +1863,7 @@ def _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g):
         bytes_accessed=4 * qkv.size * qkv.dtype.itemsize,
         transcendentals=Bn * num_heads * N * N,
     )
-    kwargs = dict(scale=scale, G=G, hd=hd, n_i=Bn // W)
+    kwargs = dict(scale=scale, G=G, hd=hd, n_i=Bn // W, no_max=no_max)
     if mask is None:
         dq, dk, dv, dbias = pl.pallas_call(
             functools.partial(_attn_kernel_flat_bwd_grouped, **kwargs),
@@ -1876,7 +1939,7 @@ _BWD_KERNEL = _os.environ.get("CLOVER_WA_BWD", "1") == "1"
 _BWD_LANES_MAX_N = int(_os.environ.get("CLOVER_WA_BWD_LANES_MAX_N", "256"))
 
 
-def _backward_flat(qkv, bias, mask, scale, num_heads, g):
+def _backward_flat(qkv, bias, mask, scale, num_heads, g, no_max=False):
     """Fused bwd: (dqkv, dbias) or None if infeasible."""
     Bn, N, threeC = qkv.shape
     C = threeC // 3
@@ -1895,7 +1958,8 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
         # and stages 2-3 at 32 frames): tile over head groups before
         # falling back to the XLA vjp, whose per-head pad+add scatter
         # chains dominated the r2 train profile (~5 ms/step at stage 3)
-        return _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g)
+        return _backward_flat_grouped(qkv, bias, mask, scale, num_heads, g,
+                                      no_max=no_max)
     dt = qkv.dtype
     qkv_spec = pl.BlockSpec((W, N, 3 * C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1912,7 +1976,8 @@ def _backward_flat(qkv, bias, mask, scale, num_heads, g):
         bytes_accessed=4 * qkv.size * qkv.dtype.itemsize,
         transcendentals=Bn * num_heads * N * N,
     )
-    kwargs = dict(scale=scale, nH=num_heads, hd=hd, n_i=Bn // W)
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, n_i=Bn // W,
+                  no_max=no_max)
     if mask is None:
         return pl.pallas_call(
             functools.partial(_attn_kernel_flat_bwd, **kwargs),
@@ -1977,12 +2042,14 @@ def _flat_fwd(qkv, bias, mask, scale, num_heads, no_max=False):
 
 
 def _flat_bwd(scale, num_heads, no_max, residuals, g):
-    # the bwd recompute always uses the true row max — mathematically the
-    # same softmax, so gradients are exact for the no-max forward too
+    # the kernel recompute mirrors the forward's softmax mode exactly
+    # (same static shift / clamp via no_max — see _bwd_softmax_core);
+    # the XLA fallback below keeps the true row max (mathematically the
+    # same softmax, so gradients are exact either way)
     qkv, bias, mask = residuals
     if _BWD_KERNEL:
         out = _backward_flat(qkv, bias, mask, scale, num_heads,
-                             g.astype(qkv.dtype))
+                             g.astype(qkv.dtype), no_max=no_max)
         if out is not None:
             dqkv, dbias = out
             dbias = dbias.astype(bias.dtype)
@@ -2040,7 +2107,7 @@ _FLAT2_ON = _os.environ.get("CLOVER_WA_FLAT2", "1") != "0"
 
 def _attn_kernel_flat2_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
                            scratch_ref, gscratch_ref, *, scale, nH, hd,
-                           W, N, mask_ref=None, r_ref=None):
+                           W, N, mask_ref=None, r_ref=None, no_max=False):
     C = nH * hd
     i = pl.program_id(0)
 
@@ -2076,21 +2143,9 @@ def _attn_kernel_flat2_bwd(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
             logits = logits + bias_ref[h].astype(jnp.float32)
             if m is not None:
                 logits = logits + m
-            # bwd recompute keeps the TRUE row max (mathematically the
-            # same softmax as a no-max forward — exact grads either way)
-            mx = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - mx)
-            p32 = e * jax.lax.reciprocal(jnp.sum(e, axis=-1, keepdims=True))
-            p = p32.astype(qkv_ref.dtype)
             g_h = g_w[:, h * hd:(h + 1) * hd]                  # (Nq, hd)
-            dv = jax.lax.dot_general(
-                p, g_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (Nk, hd)
-            dp = jax.lax.dot_general(
-                g_h, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)            # (Nq, Nk)
-            dlog = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
-            dlog_b = dlog.astype(qkv_ref.dtype)
+            dv, dlog, dlog_b = _bwd_softmax_core(
+                logits, v, g_h, qkv_ref.dtype, no_max, r is not None)
             dq = jax.lax.dot_general(
                 dlog_b, k, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale    # (Nq, hd)
@@ -2151,7 +2206,8 @@ def _flat2_bwd_feasible(nH: int, N: int, hd: int, itemsize: int,
     return need <= _FLAT_VMEM_BUDGET
 
 
-def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2):
+def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2,
+                    no_max=False):
     """2-D fused bwd: (dqkv2, dbias) or None if infeasible."""
     M, threeC = qkv2.shape
     C = threeC // 3
@@ -2184,7 +2240,8 @@ def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2):
         bytes_accessed=4 * qkv2.size * qkv2.dtype.itemsize,
         transcendentals=Bn * num_heads * N * N,
     )
-    kwargs = dict(scale=scale, nH=num_heads, hd=hd, W=W, N=N)
+    kwargs = dict(scale=scale, nH=num_heads, hd=hd, W=W, N=N,
+                  no_max=no_max)
     scratch = [pltpu.VMEM((N, 3 * C), dt), pltpu.VMEM((N, C), dt)]
     if mask is None:
         return pl.pallas_call(
@@ -2300,7 +2357,7 @@ def _flat2_bwd(scale, num_heads, N, no_max, residuals, g):
     # native 2-D bwd first: keeps g/dqkv row-major (the reshape fallback
     # below is a real relayout at N % 8 != 0 that loses in training)
     out = _backward_flat2(qkv2, bias, mask, scale, num_heads, N,
-                          g.astype(qkv2.dtype))
+                          g.astype(qkv2.dtype), no_max=no_max)
     if out is not None:
         dqkv2, dbias = out
         dbias = dbias.astype(bias.dtype)

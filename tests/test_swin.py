@@ -320,3 +320,29 @@ def test_host_s2d_embed_matches_conv(rng):
                                    jnp.asarray(s2d.astype(np.float32)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bias_from_table_matmul_matches_gather():
+    """The einsum form of the relative-position bias (one-hot factors,
+    swin3d.bias_from_table) is BIT-IDENTICAL to the reference row-gather
+    (swin_transformer_3d.py:380-384): every output element sums exactly
+    one table entry against 1.0 factors."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import clover_tpu.models.swin3d as s3d
+
+    rng = np.random.default_rng(0)
+    for full, eff, nH in (((8, 7, 7), (4, 7, 7), 16),
+                          ((8, 7, 7), (8, 7, 7), 4),
+                          ((2, 7, 7), (1, 7, 7), 8)):
+        table_len = int(np.prod([2 * w - 1 for w in full]))
+        table = jnp.asarray(
+            rng.normal(size=(table_len, nH)).astype(np.float32))
+        N = int(np.prod(eff))
+        rp = s3d.relative_position_index(full, eff)
+        ref = np.asarray(table)[rp.reshape(-1)].reshape(
+            N, N, nH).transpose(2, 0, 1)
+        out = np.asarray(s3d.bias_from_table(table, full, eff, nH))
+        np.testing.assert_array_equal(out, ref)

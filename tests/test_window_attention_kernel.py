@@ -686,3 +686,37 @@ def test_resident_block_flat2_train_grads_match_xla(rng, monkeypatch):
     for a, b in zip(flat_leaves, xla_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("no_max", [True, "clamp"])
+def test_flat_kernel_gradients_no_max_modes(rng, no_max):
+    """The fused bwd kernels mirror the forward's static-shift / clamp
+    softmax (r3 delta-trick core, _bwd_softmax_core): gradients through
+    flat_window_attention(no_max=...) equal the true-row-max gradients —
+    the shift is a per-row constant, so the softmax (and its vjp) is the
+    same function. Covers the bare mask-less path (shift 30) and the
+    region-lanes path (shift 130)."""
+    from clover_tpu.ops.window_attention import flat_window_attention
+
+    Bn, nH, N, hd = 4, 2, 8, 8
+    C = nH * hd
+    qkv = jnp.asarray(rng.normal(size=(Bn, N, 3 * C)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    regions = rng.integers(0, 3, size=(2, N))
+    lanes = np.zeros((2, N, 8), np.float32)
+    for w in range(2):
+        for n in range(N):
+            lanes[w, n, regions[w, n]] = 10.0
+    lanes = jnp.asarray(lanes)
+    scale = hd ** -0.5
+
+    def loss(qkv, bias, mask, nm):
+        return jnp.sum(
+            flat_window_attention(qkv, bias, mask, scale, nH, no_max=nm) ** 2)
+
+    for mask in (None, lanes):
+        g = jax.grad(loss, argnums=(0, 1))(qkv, bias, mask, no_max)
+        g_ref = jax.grad(loss, argnums=(0, 1))(qkv, bias, mask, False)
+        for a, b in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)

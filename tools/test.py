@@ -25,6 +25,11 @@ def parse_args():
     p.add_argument("--ckpt-dir", default=None,
                    help="checkpoint directory (omit for random init)")
     p.add_argument("--step", type=int, default=None)
+    p.add_argument("--load-from", default=None,
+                   help="weights-only checkpoint dir (e.g. the output of "
+                        "tools/convert_checkpoint.py); tower subtrees that "
+                        "match by name are loaded, the rest keep fresh init "
+                        "(reference load_from semantics)")
     p.add_argument("--all-steps", action="store_true",
                    help="sweep every checkpoint in --ckpt-dir (reference "
                         "inference_pytorch_multi_checkpoints)")
@@ -168,6 +173,19 @@ def main():
         return run_qa_eval(eval_step, params, test_ds, loader.epoch(0),
                            out_size=img_size, dtype=model.dtype,
                            bias_cache=swin_cache_fn)
+
+    if args.load_from:
+        # converted / pretrain checkpoint: merge matching tower subtrees
+        # (the dress-rehearsal path for real-weight conversion,
+        # tools/dress_rehearsal.py)
+        from clover_tpu.engine.checkpoint import merge_pretrained_params
+
+        pretrained = CheckpointManager(args.load_from).restore_params(params)
+        if pretrained is None:
+            raise SystemExit(f"--load-from: no checkpoint in {args.load_from}")
+        params, loaded, fresh = merge_pretrained_params(params, pretrained)
+        logger.info("load_from %s: loaded %s; fresh %s",
+                    args.load_from, loaded, fresh)
 
     if args.ckpt_dir and args.all_steps:
         # checkpoint-directory sweep (reference tools/test.py:169-224)

@@ -211,21 +211,13 @@ def main():
     # checkpoint warm-starting a finetune model without QA heads).
     load_from = cfg.get("load_from")
     if load_from:
-        from clover_tpu.engine.checkpoint import CheckpointManager
+        from clover_tpu.engine.checkpoint import (CheckpointManager,
+                                                  merge_pretrained_params)
 
         pretrained = CheckpointManager(load_from).restore_params(params)
         if pretrained is None:
             raise SystemExit(f"load_from: no checkpoint in {load_from}")
-        loaded, fresh = [], []
-        merged = dict(params)
-        for key in params:
-            if key in pretrained and jax.tree_util.tree_structure(
-                params[key]) == jax.tree_util.tree_structure(pretrained[key]):
-                merged[key] = pretrained[key]
-                loaded.append(key)
-            else:
-                fresh.append(key)
-        params = type(params)(merged) if not isinstance(params, dict) else merged
+        params, loaded, fresh = merge_pretrained_params(params, pretrained)
         logger.info("load_from %s: loaded %s; fresh %s", load_from, loaded, fresh)
 
     if world > 1 and fsdp_size == 1 and model_size == 1:

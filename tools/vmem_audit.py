@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Estimator-vs-actual VMEM audit for every Pallas kernel picker.
+
+The pickers gate kernels on analytic VMEM estimates; a wrong estimate
+either wastes a feasible shape (too conservative) or compile-OOMs on real
+TPU (too optimistic — Mosaic's scoped-vmem limit only enforces at
+compile time, and interpret mode hides it). This tool compiles every
+shipped Swin-B kernel shape (8- and 32-frame, fwd and bwd, flat / grouped
+/ flat2 / fused-block) on the REAL device and reports, per shape:
+
+  pick        what the picker chose (W or (W, G); 0 = predicted infeasible)
+  compile     ok / FAIL (the Mosaic error when predicted feasible but OOM)
+
+Run on TPU:  python tools/vmem_audit.py [--force-fused]
+Exit code 1 if any predicted-feasible shape fails to compile — wire into
+a slow test when a chip is attached (VERDICT r2 item 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# Swin-B stages at the two shipped frame counts (Bn = B*T'*nW at B=16,
+# doubled for the pretrain's 2-tower share_embed batch)
+SHAPES = [
+    # (label, Bn, nH, N, nW)
+    ("8f-stage0", 2048, 4, 196, 16),
+    ("8f-stage1", 512, 8, 196, 4),
+    ("8f-stage2", 128, 16, 196, 1),
+    ("8f-stage3", 128, 32, 196, 1),
+    ("32f-stage0", 2048, 4, 392, 16),
+    ("32f-stage1", 512, 8, 392, 4),
+    ("32f-stage2", 128, 16, 392, 1),
+    ("32f-stage3", 128, 32, 392, 1),
+]
+HD = 32
+
+
+def _mk(rng, *shape):
+    import jax.numpy as jnp
+
+    return jnp.asarray(rng.normal(size=shape).astype(np.float32),
+                       jnp.bfloat16)
+
+
+def audit_one(label, Bn, nH, N, nW, force_fused=False):
+    """Returns list of (kernel, pick, status) rows."""
+    import jax
+    import jax.numpy as jnp
+
+    import clover_tpu.ops.window_attention as wa
+    import clover_tpu.ops.attn_block as ab
+
+    rng = np.random.default_rng(0)
+    C = nH * HD
+    scale = HD ** -0.5
+    qkv = _mk(rng, Bn, N, 3 * C)
+    g = _mk(rng, Bn, N, C)
+    bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+    # region-lanes mask (the live training form)
+    lanes_np = np.zeros((nW, N, 8), np.float32)
+    lanes_np[:, :, 0] = 10.0
+    lanes = jnp.asarray(lanes_np) if nW > 1 else None
+    nr = 8 if lanes is not None else None
+
+    rows = []
+
+    def try_compile(name, pick, fn, *args):
+        if not pick:
+            rows.append((name, pick, "skipped (predicted infeasible)"))
+            return
+        try:
+            jax.jit(fn).lower(*args).compile()
+            rows.append((name, pick, "ok"))
+        except Exception as e:
+            msg = str(e).splitlines()
+            key = next((l for l in msg if "vmem" in l.lower()
+                        or "exceeds" in l.lower()), msg[0] if msg else "?")
+            rows.append((name, pick, f"FAIL: {key[:120]}"))
+
+    it = 2
+    # flat fwd (ungrouped)
+    W = wa._pick_window_block_flat(Bn, nH, N, HD, it, nW if lanes is not None else None, nr)
+    try_compile("flat-fwd", W,
+                lambda q: wa._forward_flat(q, bias, lanes, scale, nH), qkv)
+    # grouped fwd
+    WG = wa._pick_group_block_flat(Bn, nH, N, HD, it, nW if lanes is not None else None, nr)
+    try_compile("grouped-fwd", WG,
+                lambda q: wa._forward_flat_grouped(q, bias, lanes, scale, nH),
+                qkv)
+    # grouped bwd
+    WGb = wa._pick_group_block_bwd(Bn, nH, N, HD, it, nW if lanes is not None else None, nr)
+    try_compile("grouped-bwd", WGb,
+                lambda q, gg: wa._backward_flat_grouped(
+                    q, bias, lanes, scale, nH, gg), qkv, g)
+    # flat2 fwd
+    f2 = wa._flat2_feasible(nH, N, HD, it, nr) and Bn % wa._flat2_W(N) == 0
+    try_compile("flat2-fwd", int(f2),
+                lambda q2: wa._forward_flat2(
+                    q2.reshape(Bn * N, 3 * C), bias, lanes, scale, nH, N),
+                qkv)
+    # flat2 bwd
+    f2b = wa.flat2_bwd_available(Bn, N, nH, C, it,
+                                 nW if lanes is not None else None, nr)
+    try_compile("flat2-bwd", int(f2b),
+                lambda q2, gg: wa._backward_flat2(
+                    q2.reshape(Bn * N, 3 * C), bias, lanes, scale, nH, N,
+                    gg.reshape(Bn * N, C)), qkv, g)
+    # fused half-block (ungrouped + grouped)
+    x = _mk(rng, Bn, N, C)
+    ln_s = jnp.ones((C,), jnp.float32)
+    ln_b = jnp.zeros((C,), jnp.float32)
+    wqkv = _mk(rng, C, 3 * C).astype(jnp.float32)
+    bqkv = jnp.zeros((3 * C,), jnp.float32)
+    wproj = _mk(rng, C, C).astype(jnp.float32)
+    bproj = jnp.zeros((C,), jnp.float32)
+    Wab = ab._pick_w(Bn, nH, N, C, it, nW if lanes is not None else None,
+                     nr=nr)
+    try_compile("fused-block", Wab,
+                lambda xx: ab._forward(xx, ln_s, ln_b, wqkv, bqkv, bias,
+                                       lanes, wproj, bproj, None, scale,
+                                       1e-5), x)
+    WGab = ab._pick_wg(Bn, nH, N, C, it, nW if lanes is not None else None,
+                       nr=nr)
+    try_compile("fused-block-grouped", WGab,
+                lambda xx: ab._forward_grouped(xx, ln_s, ln_b, wqkv, bqkv,
+                                               bias, lanes, wproj, bproj,
+                                               None, scale, 1e-5), x)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated label filter (default: all)")
+    args = ap.parse_args()
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+    if jax.default_backend() != "tpu":
+        print("WARNING: not on TPU — Mosaic VMEM limits are NOT enforced; "
+              "this audit only proves anything on real hardware")
+    failed = 0
+    for label, Bn, nH, N, nW in SHAPES:
+        if args.shapes and label not in args.shapes.split(","):
+            continue
+        print(f"\n== {label}: Bn={Bn} nH={nH} N={N} nW={nW} ==")
+        for name, pick, status in audit_one(label, Bn, nH, N, nW):
+            print(f"  {name:<22} pick={str(pick):<10} {status}")
+            if status.startswith("FAIL"):
+                failed += 1
+    print(f"\n{'AUDIT FAIL' if failed else 'AUDIT OK'}: "
+          f"{failed} predicted-feasible shapes failed to compile")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
