@@ -247,6 +247,110 @@ def bench_itm():
     }))
 
 
+def bench_serving():
+    """BENCH_MODE=serving: exported StableHLO video-tower artifact executed
+    on the real chip vs the in-framework jit path — the AOT bundle's
+    parity + throughput evidence (docs/SCALING.md serving story). Per-call
+    dispatch on both sides (the serving shape), async until one final
+    sync, so the ~34 ms relay dispatch overhead hits both equally."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu import serving
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+    from clover_tpu.models.swin3d import swin_bias_cache
+    from clover_tpu.ops.preprocess import eval_preprocess
+
+    B = int(os.environ.get("BENCH_BATCH", 32))
+    T = int(os.environ.get("BENCH_FRAMES", 8))
+    ITERS = int(os.environ.get("BENCH_ITERS", 16))
+    S, L = 224, 30
+
+    cfg = FinetuneConfig(
+        swin=SwinConfig.base(embed_impl="s2d", fold_normalize=True),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+        task="retrieval",
+    )
+    model = CloverFinetune(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frames_all = [jnp.asarray(rng.integers(
+        0, 256, size=(B, T, S, S, 3), dtype=np.uint8)) for _ in range(ITERS)]
+
+    init_imgs = eval_preprocess(frames_all[0], out_size=S,
+                                dtype=jnp.bfloat16, normalize=False)
+    params = jax.jit(lambda k, f: model.init(k, f[:, None],
+                                             method="forward_video"))(
+        jax.random.PRNGKey(0), init_imgs)
+    jax.block_until_ready(params)
+
+    exports = serving.export_retrieval_towers(
+        model, params, batch_sizes=(B,), frames=T, image_size=S,
+        text_len=L, sim_candidates=128)
+    bundle = os.path.join(tempfile.mkdtemp(prefix="clover_bundle_"), "b")
+    serving.save_bundle(exports, bundle)
+    fns = serving.load_bundle(bundle)
+    vid = fns[f"video_tower_b{B}"]
+
+    # jit path: the same math through the live framework
+    bias_cache = jax.jit(lambda p: swin_bias_cache(
+        p["params"]["backbone"], cfg.swin, (T, S, S)))(params)
+
+    @jax.jit
+    def jit_video(params, frames_u8, bias_cache):
+        imgs = eval_preprocess(frames_u8, out_size=S, dtype=jnp.bfloat16,
+                               normalize=False)
+        return model.apply(params, imgs[:, None], bias_cache,
+                           method="forward_video").astype(jnp.float32)
+
+    def run(fn):
+        outs = [fn(f) for f in frames_all]
+        total = float(sum(np.asarray(o).sum() for o in outs))
+        return total
+
+    emb_a = np.asarray(vid(frames_all[0]))
+    emb_j = np.asarray(jit_video(params, frames_all[0], bias_cache))
+    parity = float(np.max(np.abs(emb_a - emb_j)))
+
+    run(vid)                                       # warm
+    t0 = time.time()
+    total = run(vid)
+    artifact_dt = time.time() - t0
+    run(lambda f: jit_video(params, f, bias_cache))  # warm
+    t0 = time.time()
+    run(lambda f: jit_video(params, f, bias_cache))
+    jit_dt = time.time() - t0
+    assert np.isfinite(total)
+
+    print(json.dumps({
+        "metric": "serving_artifact_video_tower_clips_per_sec_per_chip",
+        "value": round(B * ITERS / artifact_dt, 3),
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "batch": B,
+        "frames": T,
+        "iters": ITERS,
+        "seconds": round(artifact_dt, 3),
+        "jit_clips_per_sec": round(B * ITERS / jit_dt, 3),
+        "artifact_vs_jit": round(jit_dt / artifact_dt, 4),
+        "artifact_jit_max_abs_diff": parity,
+        "bundle_bytes": sum(
+            os.path.getsize(os.path.join(bundle, f))
+            for f in os.listdir(bundle)),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def bench_train():
     """Pretrain training-step throughput (clips/sec, fwd+bwd+AdamW)."""
     import jax
@@ -329,13 +433,17 @@ def bench_train():
     trace_dir = os.environ.get("BENCH_TRACE")
     if trace_dir:  # steady-state-only trace (tools/profile_bench.py)
         jax.profiler.start_trace(trace_dir)
-    t0 = time.time()
-    state, losses = run_all(state, batches, key)
-    losses = np.asarray(losses)
-    dt = time.time() - t0
+
+    def timed():
+        t0 = time.time()
+        _, losses = run_all(state, batches, key)
+        losses = np.asarray(losses)
+        assert np.all(np.isfinite(losses))
+        return time.time() - t0
+
+    dt, dts = _timed_runs(timed, int(os.environ.get("BENCH_REPEAT", 1)))
     if trace_dir:
         jax.profiler.stop_trace()
-    assert np.all(np.isfinite(losses))
     print(json.dumps({
         "metric": "pretrain_train_clips_per_sec_per_chip",
         "value": round(B * ITERS / dt, 3),
@@ -345,6 +453,7 @@ def bench_train():
         "frames": T,
         "iters": ITERS,
         "seconds": round(dt, 3),
+        "runs": [round(B * ITERS / d, 1) for d in dts] if len(dts) > 1 else None,
         "attention_impl": ATTN,
         "device": str(jax.devices()[0]),
         **_flops_fields(run_all, (state, batches, key), dt, iters=ITERS),

@@ -202,6 +202,17 @@ def _pick_w(Bn: int, nH: int, N: int, C: int, itemsize: int,
                + w * Np_s * C3p * (4 + itemsize)    # qkv fp32 + cast
                + w * Np_s * Np_l * (4 + itemsize)   # logits + probs (1 head)
                + w * Np_s * Cp * itemsize           # attn scratch
+               # _softmax_pv / epilogue temps the estimate previously
+               # omitted: the fused-sum [v|1] concat (lane-padded), its
+               # (hd+1 -> 128)-lane f32 dot accumulator, the f32 y of the
+               # proj dot, and the per-head f32 bias cast. Omitting these
+               # let mask=None at (Bn=2048, nH=4, N=196) pick W=16, which
+               # Mosaic measured at 16.88M scoped vmem vs the 16M limit
+               # (the forced-CLOVER_FUSED_ATTN=1 OOM, VERDICT r2 item 6).
+               + w * Np_s * 128 * itemsize          # v1 concat
+               + w * Np_s * 128 * 4                 # o f32 accumulator
+               + w * Np_s * Cp * 4                  # y f32 (proj dot)
+               + Np_s * Np_l * 4                    # bias f32 (1 head)
                + mask_need)
         if weights + table + act <= budget:
             return w

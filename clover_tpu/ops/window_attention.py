@@ -2206,9 +2206,224 @@ def _flat2_bwd_feasible(nH: int, N: int, hd: int, itemsize: int,
     return need <= _FLAT_VMEM_BUDGET
 
 
+def _attn_kernel_flat2_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                   dq_ref, dk_ref, dv_ref, dbias_ref,
+                                   q3_ref, k3_ref, v3_ref, g3_ref,
+                                   dq3_ref, dk3_ref, dv3_ref, *,
+                                   scale, G, hd, W, N,
+                                   mask_ref=None, r_ref=None,
+                                   no_max=False):
+    """Head-grouped, WINDOW-BATCHED 2-D backward (r3).
+
+    The first flat2 bwd ran its five dots per head as UNBATCHED (N, ·)
+    2-D ops per window and measured 51.8 vs 54.5 clips/s — per-window
+    dots lose the (W, N, ·) batched-MXU pipelining of the 3-D grouped
+    bwd. Here the W windows are normalized into 3-D VMEM scratches once
+    per program (the same sublane-offset-normalizing copy the flat2
+    forward already pays per window), the dots run W-BATCHED exactly
+    like the 3-D grouped kernel, and dq/dk/dv write back through 3-D
+    scratches — so training keeps the row-major 2-D HBM layout (no
+    (Bn*N, 3C) <-> (Bn, N, 3C) relayout around the GEMMs) without giving
+    up the batched dots. Grid (nG, Bn//W), i fastest: the group's dbias
+    stays VMEM-resident across the window sweep."""
+    gw = G * hd
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    # 2-D lane-sliced blocks (W*N, gw) -> 3-D (W, N, gw) scratches; odd
+    # w*N offsets are normalized by the copy (Mosaic-supported relayout)
+    for w in range(W):
+        q3_ref[w] = q_ref[w * N:(w + 1) * N, :]
+        k3_ref[w] = k_ref[w * N:(w + 1) * N, :]
+        v3_ref[w] = v_ref[w * N:(w + 1) * N, :]
+        g3_ref[w] = g_ref[w * N:(w + 1) * N, :]
+
+    sc = q_ref.dtype.type(scale)
+    r = None if r_ref is None else r_ref[:]          # (W, N, nr), 3-D block
+    for h in range(G):
+        qs = q3_ref[:, :, h * hd:(h + 1) * hd] * sc          # (W, N, hd)
+        k = k3_ref[:, :, h * hd:(h + 1) * hd]
+        v = v3_ref[:, :, h * hd:(h + 1) * hd]
+        if r is not None:
+            logits = jax.lax.dot_general(
+                jnp.concatenate([qs, r], axis=-1),
+                jnp.concatenate([k, r], axis=-1),
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (W, Nq, Nk)
+        else:
+            logits = jax.lax.dot_general(
+                qs, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+        logits = logits + bias_ref[h][None].astype(jnp.float32)
+        if mask_ref is not None:
+            logits = logits + mask_ref[:].astype(jnp.float32)
+        g_h = g3_ref[:, :, h * hd:(h + 1) * hd]              # (W, Nq, hd)
+        dv, dlog, dlog_b = _bwd_softmax_core(
+            logits, v, g_h, q_ref.dtype, no_max, r is not None)
+        dq = jax.lax.dot_general(
+            dlog_b, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            dlog_b, qs, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dq3_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dq3_ref.dtype)
+        dk3_ref[:, :, h * hd:(h + 1) * hd] = dk.astype(dk3_ref.dtype)
+        dv3_ref[:, :, h * hd:(h + 1) * hd] = dv.astype(dv3_ref.dtype)
+        dbias_ref[h] += jnp.sum(dlog, axis=0)
+
+    for w in range(W):
+        dq_ref[w * N:(w + 1) * N, :] = dq3_ref[w]
+        dk_ref[w * N:(w + 1) * N, :] = dk3_ref[w]
+        dv_ref[w * N:(w + 1) * N, :] = dv3_ref[w]
+
+
+def _attn_kernel_flat2_bwd_grouped_masked(q_ref, k_ref, v_ref, bias_ref,
+                                          g_ref, mask_ref, dq_ref, dk_ref,
+                                          dv_ref, dbias_ref, *scratches,
+                                          **kw):
+    _attn_kernel_flat2_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                   dq_ref, dk_ref, dv_ref, dbias_ref,
+                                   *scratches, mask_ref=mask_ref, **kw)
+
+
+def _attn_kernel_flat2_bwd_grouped_lanes(q_ref, k_ref, v_ref, bias_ref,
+                                         g_ref, r_ref, dq_ref, dk_ref,
+                                         dv_ref, dbias_ref, *scratches,
+                                         **kw):
+    _attn_kernel_flat2_bwd_grouped(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                                   dq_ref, dk_ref, dv_ref, dbias_ref,
+                                   *scratches, r_ref=r_ref, **kw)
+
+
+def _pick_flat2_bwd_grouped(Bn: int, nH: int, N: int, hd: int,
+                            itemsize: int, nW: Optional[int],
+                            nr: Optional[int] = None):
+    """(W, G) for the grouped window-batched 2-D bwd, or (0, 0). W must be
+    a multiple of _flat2_W(N) so every 2-D block is sublane-aligned."""
+    Wmin = _flat2_W(N)
+    Np_s, Np_l = _pad_to(N, 8), _pad_to(N, 128)
+    # 2-D lane-sliced blocks: Mosaic requires the block's lane dim to be a
+    # 128-multiple (it is a strict sub-block of the (M, 3C) array, so the
+    # "equal to the array dim" escape never applies) — G*hd must tile
+    groups = [g for g in (8, 4, 2, 1)
+              if nH % g == 0 and g * hd <= 512 and (g * hd) % 128 == 0]
+    groups.sort(key=lambda g: (abs(g * hd - 128), -g))
+    for G in groups:
+        gwp = _pad_to(G * hd, 128)
+        for w in (16, 8, 4, 2, 1):
+            if w % Wmin or Bn % w:
+                continue
+            if nW is not None and (w > nW or nW % w):
+                continue
+            mask_need = _mask_block_need(w, Np_s, Np_l, hd, itemsize,
+                                         nW, nr)
+            need = (4 * 2 * w * N * gwp * itemsize      # q,k,v,g blocks x2
+                    + 3 * 2 * w * N * gwp * itemsize    # dq,dk,dv x2
+                    + 7 * w * Np_s * gwp * itemsize     # 3-D scratches
+                    + G * Np_s * Np_l * 4               # dbias resident
+                    + 2 * G * Np_s * Np_l * itemsize    # bias x2
+                    + mask_need
+                    + 3 * w * Np_s * Np_l * 4           # e/dp/dlog f32
+                    + 2 * w * Np_s * Np_l * itemsize    # casts
+                    + 2 * Np_s * Np_l * 4)              # mask/bias f32 temps
+            if need <= _FLAT_VMEM_BUDGET:
+                return w, G
+    return 0, 0
+
+
+def _backward_flat2_grouped(qkv2, bias, mask, scale, num_heads, N, g2,
+                            no_max=False):
+    """Grouped window-batched 2-D bwd: (dqkv2, dbias) or None."""
+    M, threeC = qkv2.shape
+    C = threeC // 3
+    hd = C // num_heads
+    Bn = M // N
+    if hd % 8:
+        return None
+    nW = None if mask is None else mask.shape[0]
+    lanes = _is_lanes(mask)
+    nr = mask.shape[-1] if lanes else None
+    W, G = _pick_flat2_bwd_grouped(Bn, num_heads, N, hd,
+                                   qkv2.dtype.itemsize, nW, nr)
+    if W == 0:
+        return None
+    nG = num_heads // G
+    gw = G * hd
+    dt = qkv2.dtype
+    q_spec = pl.BlockSpec((W * N, gw), lambda gi, i: (i, gi),
+                          memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((W * N, gw), lambda gi, i: (i, nG + gi),
+                          memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((W * N, gw), lambda gi, i: (i, 2 * nG + gi),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((W * N, gw), lambda gi, i: (i, gi),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((G, N, N), lambda gi, i: (gi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dbias_spec = pl.BlockSpec((G, N, N), lambda gi, i: (gi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((M, C), dt),      # dq
+                  jax.ShapeDtypeStruct((M, C), dt),      # dk
+                  jax.ShapeDtypeStruct((M, C), dt),      # dv
+                  jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32))
+    scratch = [pltpu.VMEM((W, N, gw), dt) for _ in range(7)]
+    cost = pl.CostEstimate(
+        flops=5 * 2 * Bn * num_heads * N * N * hd,
+        bytes_accessed=4 * qkv2.size * qkv2.dtype.itemsize,
+        transcendentals=Bn * num_heads * N * N,
+    )
+    kwargs = dict(scale=scale, G=G, hd=hd, W=W, N=N, no_max=no_max)
+    if mask is None:
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_attn_kernel_flat2_bwd_grouped, **kwargs),
+            grid=(nG, Bn // W),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, g_spec],
+            out_specs=(q_spec, q_spec, q_spec, dbias_spec),
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, qkv2, qkv2, bias.astype(dt), g2)
+    elif lanes:
+        r_spec = pl.BlockSpec((W, N, nr), lambda gi, i: (i % (nW // W), 0, 0),
+                              memory_space=pltpu.VMEM)
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_attn_kernel_flat2_bwd_grouped_lanes, **kwargs),
+            grid=(nG, Bn // W),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, g_spec, r_spec],
+            out_specs=(q_spec, q_spec, q_spec, dbias_spec),
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, qkv2, qkv2, bias.astype(dt), g2, mask.astype(dt))
+    else:
+        mask_spec = pl.BlockSpec((W, N, N), lambda gi, i: (i % (nW // W), 0, 0),
+                                 memory_space=pltpu.VMEM)
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_attn_kernel_flat2_bwd_grouped_masked, **kwargs),
+            grid=(nG, Bn // W),
+            in_specs=[q_spec, k_spec, v_spec, bias_spec, g_spec, mask_spec],
+            out_specs=(q_spec, q_spec, q_spec, dbias_spec),
+            out_shape=out_shapes,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=_interpret(),
+        )(qkv2, qkv2, qkv2, bias.astype(dt), g2, mask.astype(dt))
+    dqkv2 = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv2, dbias
+
+
 def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2,
                     no_max=False):
-    """2-D fused bwd: (dqkv2, dbias) or None if infeasible."""
+    """2-D fused bwd: (dqkv2, dbias) or None if infeasible.
+
+    Tries the GROUPED window-batched kernel first (W-batched dots — the
+    r3 fix for the unbatched variant's measured loss), then the all-heads
+    per-window kernel, then None (caller falls back to the 3-D path)."""
     M, threeC = qkv2.shape
     C = threeC // 3
     hd = C // num_heads
@@ -2220,9 +2435,13 @@ def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2,
     lanes = _is_lanes(mask)
     nr = mask.shape[-1] if lanes else None
     if (not _FLAT2_ON or not _BWD_KERNEL or N > _FLAT_MAX_N or Bn % W
-            or (nW is not None and nW % W)
-            or not _flat2_bwd_feasible(num_heads, N, hd,
-                                       qkv2.dtype.itemsize, nr)):
+            or (nW is not None and nW % W)):
+        return None
+    out = _backward_flat2_grouped(qkv2, bias, mask, scale, num_heads, N,
+                                  g2, no_max=no_max)
+    if out is not None:
+        return out
+    if not _flat2_bwd_feasible(num_heads, N, hd, qkv2.dtype.itemsize, nr):
         return None
     dt = qkv2.dtype
     qkv_spec = pl.BlockSpec((W * N, 3 * C), lambda i: (i, 0),
@@ -2281,19 +2500,22 @@ def _backward_flat2(qkv2, bias, mask, scale, num_heads, N, g2,
     )(qkv2, bias.astype(dt), g2, mask.astype(dt))
 
 
-# Train-path flat2 (CLOVER_WA_FLAT2_TRAIN, default OFF): with the native
-# 2-D bwd, flat2 training measured 51.8 vs 54.5 clips/s (B=16 pretrain,
-# 2026-08-19) — the bwd's per-window 2-D dots lose the W-batched MXU
-# pipelining of the 3-D grouped bwd, costing more than the g/dqkv HBM
-# relayout pair they remove (the reshape-pair bwd had already measured
-# 50.3 vs 52.8 at B=8). Eval keeps flat2 unconditionally (+10%: no bwd).
-_FLAT2_TRAIN = _os.environ.get("CLOVER_WA_FLAT2_TRAIN", "0") != "0"
+# Train-path flat2 (CLOVER_WA_FLAT2_TRAIN, default ON since r3): the
+# GROUPED WINDOW-BATCHED 2-D backward (3-D scratch normalization +
+# W-batched dots, _attn_kernel_flat2_bwd_grouped) measured pretrain train
+# 56.9 -> 59.9 clips/s (+5.3%, B=16) — training now keeps the row-major
+# 2-D layout end to end, killing the (Bn*N, 3C) <-> (Bn, N, 3C) HBM
+# relayout pairs around every stage-0/1/2 qkv/proj GEMM (~10.6 ms/iter in
+# the r3 profile). History: the reshape-pair bwd lost (50.3 vs 52.8 at
+# B=8) and the first per-window UNBATCHED 2-D bwd lost (51.8 vs 54.5) —
+# batching the dots was the missing piece. '0' restores the 3-D path.
+_FLAT2_TRAIN = _os.environ.get("CLOVER_WA_FLAT2_TRAIN", "1") != "0"
 
 
 def flat2_train_enabled() -> bool:
     """Should TRAINING passes route N % 8 != 0 attention through flat2?
-    Off by default — measured slower than the 3-D path (see _FLAT2_TRAIN
-    note); the knob exists so the A/B stays one env var."""
+    Default ON (r3, +5.3% train — see _FLAT2_TRAIN note); the knob keeps
+    the A/B one env var."""
     return _FLAT2_TRAIN
 
 
@@ -2308,10 +2530,12 @@ def flat2_bwd_available(Bn: int, N: int, num_heads: int, C: int,
     if nr is not None and N > _BWD_LANES_MAX_N:
         nr = None          # bwd converts lanes back to the additive mask
         nW = nW if nW is not None else 1
+    hd = C // num_heads
     return (_FLAT2_ON and _BWD_KERNEL and N <= _FLAT_MAX_N and Bn % W == 0
             and (nW is None or nW % W == 0)
-            and _flat2_bwd_feasible(num_heads, N, C // num_heads,
-                                    itemsize, nr))
+            and (_pick_flat2_bwd_grouped(Bn, num_heads, N, hd, itemsize,
+                                         nW, nr)[0] > 0
+                 or _flat2_bwd_feasible(num_heads, N, hd, itemsize, nr)))
 
 
 def flat2_available(Bn: int, N: int, num_heads: int, C: int,

@@ -720,3 +720,35 @@ def test_flat_kernel_gradients_no_max_modes(rng, no_max):
         for a, b in zip(g, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+def test_flat2_grouped_bwd_matches_3d(rng):
+    """The grouped WINDOW-BATCHED 2-D backward (r3: 3-D scratch
+    normalization + W-batched dots) matches the 3-D fused bwd on dqkv and
+    dbias, with and without region lanes."""
+    import clover_tpu.ops.window_attention as wa
+
+    for (Bn, nH, N, hd, use_lanes) in ((8, 4, 12, 32, False),
+                                       (8, 4, 12, 32, True),
+                                       (4, 8, 20, 32, False)):
+        C = nH * hd
+        qkv = jnp.asarray(rng.normal(size=(Bn * N, 3 * C)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(Bn * N, C)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+        mask = None
+        if use_lanes:
+            nW = 4
+            lanes = np.zeros((nW, N, 8), np.float32)
+            for w in range(nW):
+                lanes[w, np.arange(N), rng.integers(0, 3, N)] = 10.0
+            mask = jnp.asarray(lanes)
+        out = wa._backward_flat2_grouped(qkv, bias, mask, 0.3, nH, N, g)
+        assert out is not None, "grouped 2-D bwd did not fire"
+        dq1, db1 = out
+        dqr, dbr = wa._backward_flat(qkv.reshape(Bn, N, 3 * C), bias, mask,
+                                     0.3, nH, g.reshape(Bn, N, C))
+        np.testing.assert_allclose(
+            np.asarray(dq1).reshape(Bn, N, 3 * C), np.asarray(dqr),
+            rtol=3e-5, atol=3e-5)
+        np.testing.assert_allclose(np.asarray(db1), np.asarray(dbr),
+                                   rtol=3e-5, atol=3e-5)

@@ -188,6 +188,10 @@ def main():
 
     # ---- 2. convert (the exact real-weights command) ---------------------
     out_dir = os.path.join(args.work, "converted")
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)  # orbax refuses to overwrite
     cmd = [sys.executable, os.path.join(REPO, "tools", "convert_checkpoint.py"),
            "--swin", swin_pth, "--inflate-2d", "--bert", bert_pth,
            "--depths", "2", "2", "18", "2", "--fusion-layers", "3",

@@ -114,7 +114,10 @@ def audit_one(label, Bn, nH, N, nW, force_fused=False):
                 lambda q2, gg: wa._backward_flat2(
                     q2.reshape(Bn * N, 3 * C), bias, lanes, scale, nH, N,
                     gg.reshape(Bn * N, C)), qkv, g)
-    # fused half-block (ungrouped + grouped)
+    # fused half-block (ungrouped + grouped), BOTH mask forms — the
+    # mask=None variant is the one that caught the forced-fused N=196
+    # compile OOM (unshifted blocks carry no mask, which frees enough
+    # estimated headroom to tempt a bigger W)
     x = _mk(rng, Bn, N, C)
     ln_s = jnp.ones((C,), jnp.float32)
     ln_b = jnp.zeros((C,), jnp.float32)
@@ -122,18 +125,19 @@ def audit_one(label, Bn, nH, N, nW, force_fused=False):
     bqkv = jnp.zeros((3 * C,), jnp.float32)
     wproj = _mk(rng, C, C).astype(jnp.float32)
     bproj = jnp.zeros((C,), jnp.float32)
-    Wab = ab._pick_w(Bn, nH, N, C, it, nW if lanes is not None else None,
-                     nr=nr)
-    try_compile("fused-block", Wab,
-                lambda xx: ab._forward(xx, ln_s, ln_b, wqkv, bqkv, bias,
-                                       lanes, wproj, bproj, None, scale,
-                                       1e-5), x)
-    WGab = ab._pick_wg(Bn, nH, N, C, it, nW if lanes is not None else None,
-                       nr=nr)
-    try_compile("fused-block-grouped", WGab,
-                lambda xx: ab._forward_grouped(xx, ln_s, ln_b, wqkv, bqkv,
-                                               bias, lanes, wproj, bproj,
-                                               None, scale, 1e-5), x)
+    for mname, m in (("lanes", lanes), ("nomask", None)):
+        mnW = nW if m is not None else None
+        mnr = nr if m is not None else None
+        Wab = ab._pick_w(Bn, nH, N, C, it, mnW, nr=mnr)
+        try_compile(f"fused-block[{mname}]", Wab,
+                    lambda xx, m=m: ab._forward(
+                        xx, ln_s, ln_b, wqkv, bqkv, bias, m, wproj, bproj,
+                        None, scale, 1e-5), x)
+        WGab = ab._pick_wg(Bn, nH, N, C, it, mnW, nr=mnr)
+        try_compile(f"fused-block-grouped[{mname}]", WGab,
+                    lambda xx, m=m: ab._forward_grouped(
+                        xx, ln_s, ln_b, wqkv, bqkv, bias, m, wproj, bproj,
+                        None, scale, 1e-5), x)
     return rows
 
 
