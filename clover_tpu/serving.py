@@ -32,6 +32,7 @@ Design points:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
@@ -68,6 +69,7 @@ def export_retrieval_towers(
     text_len: int = 30,
     sim_candidates: int = 1000,
     platforms: Optional[Sequence[str]] = None,
+    bake_params: bool = True,
 ) -> Dict[str, jex.Exported]:
     """Export a CloverFinetune retrieval model's serving surface.
 
@@ -75,6 +77,15 @@ def export_retrieval_towers(
     the result to :func:`save_bundle`. ``platforms=None`` exports for the
     current default backend; pass e.g. ``('tpu',)`` or ``('tpu', 'cpu')``
     to pin (cross-platform lowering is supported by jax.export).
+
+    ``bake_params=False`` exports WEIGHTS-SEPARATE artifacts: the tower
+    functions take (params, inputs) and the runtime supplies the weight
+    pytree at call time (the standard split for large models — one
+    artifact, hot-swappable checkpoints, and no weight bytes inside the
+    compile payload; on this repo's relay-attached TPU the weight-baked
+    module exceeds the remote-compile request limit, so the bench uses
+    this mode — bench.py BENCH_MODE=serving). The similarity artifact is
+    weight-free either way.
     """
     from clover_tpu.models.swin3d import swin_bias_cache
     from clover_tpu.ops.preprocess import eval_preprocess
@@ -97,25 +108,38 @@ def export_retrieval_towers(
         p, swin_cfg, (frames, image_size, image_size)))(
         params["params"]["backbone"])
 
-    def video_fn(frames_u8):
+    def video_fn(p, bc, frames_u8):
         imgs = eval_preprocess(frames_u8, out_size=image_size,
                                dtype=model.dtype,
                                normalize=not swin_cfg.fold_normalize)
-        return model.apply(params, imgs[:, None], bias_cache,
+        return model.apply(p, imgs[:, None], bc,
                            method="forward_video").astype(jnp.float32)
 
-    def text_fn(token_ids, input_mask):
-        return model.apply(params, token_ids, input_mask,
+    def text_fn(p, token_ids, input_mask):
+        return model.apply(p, token_ids, input_mask,
                            method="forward_text").astype(jnp.float32)
 
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exports: Dict[str, jex.Exported] = {}
     S = image_size
+    spec_of = lambda tree: jax.tree_util.tree_map(
+        lambda x: _spec(jnp.shape(x), jnp.asarray(x).dtype), tree)
     for B in batch_sizes:
-        exports[f"video_tower_b{B}"] = jex.export(jax.jit(video_fn), **kw)(
-            _spec((B, frames, S, S, 3), jnp.uint8))
-        exports[f"text_tower_b{B}"] = jex.export(jax.jit(text_fn), **kw)(
-            _spec((B, text_len), jnp.int32), _spec((B, text_len), jnp.int32))
+        if bake_params:
+            vfn = functools.partial(video_fn, params, bias_cache)
+            tfn = functools.partial(text_fn, params)
+            vargs = (_spec((B, frames, S, S, 3), jnp.uint8),)
+            targs = (_spec((B, text_len), jnp.int32),
+                     _spec((B, text_len), jnp.int32))
+        else:
+            vfn, tfn = video_fn, text_fn
+            vargs = (spec_of(params), spec_of(bias_cache),
+                     _spec((B, frames, S, S, 3), jnp.uint8))
+            targs = (spec_of(params),
+                     _spec((B, text_len), jnp.int32),
+                     _spec((B, text_len), jnp.int32))
+        exports[f"video_tower_b{B}"] = jex.export(jax.jit(vfn), **kw)(*vargs)
+        exports[f"text_tower_b{B}"] = jex.export(jax.jit(tfn), **kw)(*targs)
     D = cfg.vts_embed_dim
     exports["similarity"] = jex.export(jax.jit(similarity_fn), **kw)(
         _spec((sim_candidates, D), jnp.float32),
