@@ -125,9 +125,9 @@ def bench_finetune():
         jax.random.PRNGKey(0), first)
     jax.block_until_ready(params)
     tx, _ = make_optimizer(params, base_lr=1.2e-5, total_steps=1000,
-                           warmup_steps=10, grad_clip_norm=15.0)
+                           warmup_steps=10)
     state = TrainState.create(params, tx)
-    step = make_retrieval_train_step(model, jit=False)
+    step = make_retrieval_train_step(model, jit=False, grad_clip_norm=15.0)
 
     @jax.jit
     def run_all(state, batches, key):
@@ -421,9 +421,9 @@ def bench_train():
         jax.random.PRNGKey(0), first)
     jax.block_until_ready(params)
     tx, _ = make_optimizer(params, base_lr=5e-5, total_steps=1000,
-                           warmup_steps=10, grad_clip_norm=15.0)
+                           warmup_steps=10)
     state = TrainState.create(params, tx)
-    step = make_pretrain_train_step(model, jit=False)
+    step = make_pretrain_train_step(model, jit=False, grad_clip_norm=15.0)
 
     @jax.jit
     def run_all(state, batches, key):

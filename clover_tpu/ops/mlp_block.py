@@ -633,6 +633,84 @@ def _fwd(x, scale, bias, w1, b1, w2, b2, row_scale, eps, gelu):
         x, scale, bias, w1, b1, w2, b2, row_scale)
 
 
+def _gelu_grad(z, mode: str):
+    """d gelu(z)/dz for both activation modes (f32 in/out)."""
+    if mode == "tanh":
+        c = 0.7978845608028654
+        u = c * (z + 0.044715 * z * z * z)
+        t = jnp.tanh(u)
+        return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t * t) * c * (
+            1.0 + 0.134145 * z * z)
+    return _erf_grad(z)
+
+
+# A/B escape hatch: CLOVER_MLP_BWD_F32=1 restores the jax.vjp backward
+# whose dot transposes consume the f32 cotangent directly (see below).
+_BWD_F32 = _os.environ.get("CLOVER_MLP_BWD_F32", "0") == "1"
+
+
+def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
+    """Explicit recompute backward with bf16 GEMM operands throughout.
+
+    jax.vjp of ``_xla_reference`` feeds the f32 cotangent straight into
+    the w2-transpose dots: on the r3 pretrain HLO, ``dh = gy @ w2.T`` and
+    ``dW2 = h.T @ gy`` compiled as f32-operand GEMMs — 2.42 TF/step at
+    the MXU's fp32 rate (several x slower than bf16). This backward is
+    the same math with every dot in (bf16, bf16) -> f32-accumulate form,
+    the repo-wide precision convention (attention bwd kernels cast g the
+    same way). The extra bf16 rounding on the cotangent is of the same
+    order as the rounding the forward's bf16 dot inputs already carry;
+    grads parity-tested against the f32-cotangent vjp in
+    tests/test_mlp_block_kernel.py.
+    """
+    dt = x.dtype
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xn_raw = xc * inv
+    y_bf = (xn_raw * scale + bias).astype(dt)
+    w1_bf, w2_bf = w1.astype(dt), w2.astype(dt)
+    z = jnp.dot(y_bf, w1_bf, preferred_element_type=f32) + b1
+    h = _gelu(z, mode)
+    h_bf = h.astype(dt)
+
+    g32 = g.astype(f32)
+    rs = (None if row_scale is None
+          else row_scale.astype(f32).reshape(-1, 1))
+    gy = g32 * rs if rs is not None else g32
+    gy_bf = gy.astype(dt)
+    dh = jax.lax.dot_general(gy_bf, w2_bf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dz = dh * _gelu_grad(z, mode)
+    dz_bf = dz.astype(dt)
+    dy = jax.lax.dot_general(dz_bf, w1_bf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dw1 = jax.lax.dot_general(y_bf, dz_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db1 = jnp.sum(dz, axis=0)
+    dw2 = jax.lax.dot_general(h_bf, gy_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db2 = jnp.sum(gy, axis=0)
+
+    dyt = dy * scale
+    m1 = jnp.mean(dyt, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyt * xn_raw, axis=-1, keepdims=True)
+    dx = inv * (dyt - m1 - xn_raw * m2) + g32
+    dscale = jnp.sum(dy * xn_raw, axis=0)
+    dbias = jnp.sum(dy, axis=0)
+    out = (dx.astype(dt), dscale.astype(scale.dtype),
+           dbias.astype(bias.dtype), dw1.astype(w1.dtype),
+           db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    if rs is None:
+        return out + (None,)
+    mlp_out = jnp.dot(h_bf, w2_bf, preferred_element_type=f32) + b2
+    drs = jnp.sum(g32 * mlp_out, axis=-1).reshape(row_scale.shape)
+    return out + (drs.astype(row_scale.dtype),)
+
+
 def _bwd(eps, gelu, residuals, g):
     x, scale, bias, w1, b1, w2, b2, row_scale = residuals
     mode = _resolve_gelu(gelu)
@@ -642,6 +720,9 @@ def _bwd(eps, gelu, residuals, g):
                                eps, g)
         if out is not None:
             return out
+    if not _BWD_F32:
+        return _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale,
+                             eps, mode, g)
     if row_scale is None:
         _, vjp = jax.vjp(
             lambda *a: _xla_reference(*a, None, eps, mode),

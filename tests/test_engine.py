@@ -335,3 +335,35 @@ def test_resume_epoch_from_meta(tmp_path):
     tr.ckpt = mgr3
     assert tr.resume()
     assert tr.start_epoch == 4  # 100 // 25
+
+
+def test_step_level_clip_matches_optax_chain(retrieval_setup):
+    """The single-pass clip in _finalize (grad_clip_norm on the step
+    factory) must produce bit-identical params to the optax
+    clip_by_global_norm chain it replaced (engine/steps.py:_finalize) —
+    including on a step where the clip actually triggers."""
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    batch = to_model_batch(next(iter(loader)))
+    rng = jax.random.PRNGKey(1)
+    clip = 1e-3  # far below the initial grad norm so the clip TRIGGERS
+
+    tx_chain, _ = make_optimizer(_copy(params), base_lr=1e-2, total_steps=50,
+                                 warmup_steps=0, weight_decay=0.0,
+                                 grad_clip_norm=clip)
+    s_chain = TrainState.create(_copy(params), tx_chain)
+    step_chain = make_retrieval_train_step(model)
+
+    tx_step, _ = make_optimizer(_copy(params), base_lr=1e-2, total_steps=50,
+                                warmup_steps=0, weight_decay=0.0)
+    s_step = TrainState.create(_copy(params), tx_step)
+    step_step = make_retrieval_train_step(model, grad_clip_norm=clip)
+
+    for _ in range(3):
+        s_chain, m_chain = step_chain(s_chain, batch, rng)
+        s_step, m_step = step_step(s_step, batch, rng)
+    assert float(m_chain["grad_norm"]) > clip  # it really clipped
+    np.testing.assert_allclose(float(m_chain["grad_norm"]),
+                               float(m_step["grad_norm"]), rtol=0, atol=0)
+    for a, b in zip(jax.tree_util.tree_leaves(s_chain.params),
+                    jax.tree_util.tree_leaves(s_step.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -199,3 +199,72 @@ def test_bwd_kernels_match_xla_grads(with_rs, ragged, monkeypatch):
             lambda r: jnp.vdot(MB._xla_reference(*args, r, 1e-5), g))(rs)
         np.testing.assert_allclose(np.asarray(grs_f), np.asarray(grs_r),
                                    rtol=2e-4, atol=2e-4, err_msg="drs")
+
+
+@pytest.mark.parametrize("mode", ["erf", "tanh"])
+@pytest.mark.parametrize("with_rs", [False, True])
+def test_explicit_backward_matches_f32_vjp(mode, with_rs):
+    """The default bf16-operand backward (_xla_backward, r3 — replaces the
+    jax.vjp whose dh/dW2 dots compiled as f32 GEMMs) must match the
+    f32-cotangent vjp to bf16-rounding tolerance, for both gelu modes,
+    with and without the DropPath row scale."""
+    rng = np.random.default_rng(7)
+    rows, C, H = 52, 64, 256
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    rs = (jnp.asarray((rng.random(rows) > 0.3).astype(np.float32) / 0.7)
+          if with_rs else None)
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+
+    got = MB._xla_backward(x, scale, bias, w1, b1, w2, b2, rs, 1e-5, mode, g)
+
+    if with_rs:
+        _, vjp = jax.vjp(lambda *a: MB._xla_reference(*a, 1e-5, mode),
+                         x, scale, bias, w1, b1, w2, b2, rs)
+        ref = vjp(g)
+    else:
+        _, vjp = jax.vjp(lambda *a: MB._xla_reference(*a, None, 1e-5, mode),
+                         x, scale, bias, w1, b1, w2, b2)
+        ref = vjp(g) + (None,)
+    names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2", "drs"]
+    for n, a, b in zip(names, got, ref):
+        if b is None:
+            assert a is None, n
+            continue
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        den = max(1.0, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a / den, b / den, rtol=0, atol=4e-3,
+                                   err_msg=n)
+
+
+def test_explicit_backward_is_default_vjp():
+    """fused_ln_mlp_residual's grad path goes through _xla_backward by
+    default (no f32-operand GEMMs in the lowered HLO)."""
+    rng = np.random.default_rng(9)
+    rows, C, H = 32, 64, 128
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(jnp.bfloat16))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.zeros(C, np.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.zeros(H, np.float32)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.zeros(C, np.float32)
+
+    def loss(w1_, w2_):
+        return jnp.sum(MB.fused_ln_mlp_residual(
+            x, scale, bias, w1_, b1, w2_, b2).astype(jnp.float32))
+
+    txt = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(w1, w2).as_text()
+    # every dot's lhs AND rhs must be bf16 (f32 accumulate output allowed)
+    import re
+    dots = re.findall(r"stablehlo\.dot_general[^\n]*: \(([^)]*)\)", txt)
+    assert dots, "no dot_general found in lowered grad HLO"
+    for operands in dots:
+        lhs, rhs = operands.split(",")[0], operands.split(",")[1]
+        assert "tensor<f32" not in lhs and "tensor<f32" not in rhs, (
+            f"f32-operand dot in lowered grad HLO: ({operands})")

@@ -59,18 +59,32 @@ _CATEGORY_RULES = (
 )
 
 
+# opcode = the call token on the RHS, e.g. "copy-start(", "custom-call(",
+# "fusion(". Lowercase-only so shape/layout tokens like T(8,128) / S(1)
+# never match; operand names can't match (they are preceded by '%').
+_OPCODE_RX = re.compile(r"(?:^|[\s)\}\]])([a-z][a-z0-9_-]*)\(")
+
+
 def _categorize(name: str) -> str:
     # XLA event names look like "%fusion.123 = ...", "%copy.4", "%dot.17",
-    # "%attn.217 = ... custom-call(...)", "loop_fusion" etc.
-    base = name.lstrip("%").split(".")[0].split(" ")[0]
-    if base == "fusion" or base.endswith("_fusion") or "_fusion." in name:
+    # "%attn.217 = ... custom-call(...)", "loop_fusion" etc. Categorize on
+    # the DEFINING name + opcode only: matching the whole string let
+    # operand names hijack the bucket (a %copy-start whose operand is
+    # %convert_reduce_fusion.N took the fusion branch and its overlapped
+    # DMA wait span polluted copy/relayout — found round 3).
+    lhs = name.lstrip("%").split(" ")[0]
+    rhs = name.split(" = ", 1)[1] if " = " in name else name
+    m = _OPCODE_RX.search(rhs)
+    head = lhs + " " + (m.group(1) if m else "")
+    base = lhs.split(".")[0]
+    if base == "fusion" or base.endswith("_fusion"):
         # convert_reduce_fusion etc. keep their own bucket below if matched
         for cat, rx in _CATEGORY_RULES[2:]:
-            if rx.search(name.lstrip("%")):
+            if rx.search(lhs):
                 return cat
         return "fusion"
     for cat, rx in _CATEGORY_RULES:
-        if rx.search(name):
+        if rx.search(head):
             return cat
     return "other"
 

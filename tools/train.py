@@ -268,7 +268,9 @@ def main():
         weight_decay=opt_cfg.get("weight_decay", 0.01),
         betas=tuple(opt_cfg.get("betas", (0.9, 0.98))),
         eps=opt_cfg.get("eps", 1e-8),
-        grad_clip_norm=opt_cfg.get("grad_clip", None),
+        # clipping happens inside the train step (single global-norm pass
+        # shared with the grad_norm metric; see engine/steps._finalize)
+        grad_clip_norm=None,
         min_lr_ratio=sched_cfg.get("min_lr_ratio", 0.0),
         warmup_start_ratio=sched_cfg.get("warmup_start_ratio", 0.001),
         freeze_mask=freeze_mask,
@@ -280,18 +282,22 @@ def main():
 
     # ----------------------------------------------------- train steps
     ema_m = ema_cfg.get("momentum", 0.9998) if ema_cfg.get("enabled") else None
+    clip = opt_cfg.get("grad_clip", None)
     if is_pretrain:
         loss_cfg = build_pretrain_loss_config(cfg)
-        step = make_pretrain_train_step(model, loss_cfg, ema_momentum=ema_m)
+        step = make_pretrain_train_step(model, loss_cfg, ema_momentum=ema_m,
+                                        grad_clip_norm=clip)
     elif task == "retrieval":
         loss_type = cfg.model.get("loss", {})
         step = make_retrieval_train_step(
             model,
             temperature=loss_type.get("temperature", 0.05),
             cos_sim=loss_type.get("cos_sim", True),
-            ema_momentum=ema_m)
+            ema_momentum=ema_m,
+            grad_clip_norm=clip)
     else:
-        step = make_qa_train_step(model, ema_momentum=ema_m)
+        step = make_qa_train_step(model, ema_momentum=ema_m,
+                                  grad_clip_norm=clip)
     train_steps = [step] * len(loaders)
 
     # ----------------------------------------------------- eval
