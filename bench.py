@@ -137,7 +137,8 @@ def bench_finetune():
 
         return jax.lax.scan(body, state, batches)
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(
+        1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))  # hw-RNG dropout
     state, losses = run_all(state, batches, key)  # compile + warm
     np.asarray(losses)
 
@@ -433,7 +434,8 @@ def bench_train():
 
         return jax.lax.scan(body, state, batches)
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(
+        1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))  # hw-RNG dropout
     state, losses = run_all(state, batches, key)  # compile + warm
     # host transfer forces completion (block_until_ready is unreliable
     # through the axon relay — measured as a no-op)

@@ -505,6 +505,188 @@ def _pick_tiles_bwd(rows: int, C: int, H: int, itemsize: int):
 _BWD_KERNEL = _os.environ.get("CLOVER_MLP_BWD", "0") == "1"
 
 
+# ---------------------------------------------------- one-pass fused backward
+# r3 retry of the bwd kernel with the duplication removed: ONE kernel,
+# grid over row blocks only, the FULL hidden dim resident. LN+fc1+gelu
+# recompute once per row block (same MXU count as the XLA vjp), dW1/dW2
+# accumulate into constant-index f32 output blocks across the grid, and
+# every (rows, H) intermediate plus all nine reductions (db1/db2/dscale/
+# dbias/LN stats/drs) stay in VMEM — the HBM round trips of z/h/dz and
+# the separate column-sum reduce fusions of the XLA path disappear.
+# Requires 2*C*H*(itemsize + 4) resident weights+grads; Swin stages 0-2
+# fit a 16 MB VMEM, stage 3 (C=1024, H=4096 -> 48 MB) falls back to the
+# XLA backward.
+
+
+def _kernel_bwd_onepass(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        g_ref, dx_ref, ds_ref, db_ref, dw1_ref, db1_ref,
+                        dw2_ref, db2_ref, out_extra, *, eps, n_rows,
+                        gelu_mode, rs_ref=None, drs_ref=None):
+    i = pl.program_id(0)
+    R = x_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xn_raw = xc * inv
+    y_bf = (xn_raw * s_ref[:] + b_ref[:]).astype(x_ref.dtype)
+    z = jnp.dot(y_bf, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _gelu(z, gelu_mode)
+
+    rmask = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+             + i * R) < n_rows
+    g32 = jnp.where(rmask, g_ref[:].astype(jnp.float32), 0.0)
+    # re-mask after the rs product: tail-row rs garbage can be NaN/inf
+    gy = jnp.where(rmask, g32 * rs_ref[:], 0.0) if rs_ref is not None else g32
+    gy_bf = gy.astype(x_ref.dtype)
+    dh = jax.lax.dot_general(gy_bf, w2_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    # mask the product: tail-row z is garbage and 0 * NaN would poison
+    # the dW1/db1 reductions
+    dz = jnp.where(rmask, dh * _gelu_grad(z, gelu_mode), 0.0)
+    dz_bf = dz.astype(x_ref.dtype)
+    dy = jax.lax.dot_general(dz_bf, w1_ref[:], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    y_masked = jnp.where(rmask, y_bf.astype(jnp.float32), 0.0).astype(
+        x_ref.dtype)
+    dw1_ref[:] = dw1_ref[:] + jax.lax.dot_general(
+        y_masked, dz_bf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[:] = db1_ref[:] + jnp.sum(dz, axis=0, keepdims=True)
+    h_masked = jnp.where(rmask, h, 0.0).astype(x_ref.dtype)
+    dw2_ref[:] = dw2_ref[:] + jax.lax.dot_general(
+        h_masked, gy_bf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[:] = db2_ref[:] + jnp.sum(gy, axis=0, keepdims=True)
+
+    dy = jnp.where(rmask, dy, 0.0)
+    dyt = dy * s_ref[:]
+    m1 = jnp.mean(dyt, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyt * xn_raw, axis=-1, keepdims=True)
+    dx = inv * (dyt - m1 - xn_raw * m2) + g32
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    ds_ref[:] = ds_ref[:] + jnp.sum(
+        jnp.where(rmask, dy * xn_raw, 0.0), axis=0, keepdims=True)
+    db_ref[:] = db_ref[:] + jnp.sum(dy, axis=0, keepdims=True)
+    if rs_ref is not None:
+        mlp_out = jnp.dot(h_masked, w2_ref[:],
+                          preferred_element_type=jnp.float32) + b2_ref[:]
+        drs_ref[:] = jnp.sum(g32 * mlp_out, axis=-1, keepdims=True)
+
+
+def _kernel_bwd_onepass_rs(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                           b2_ref, g_ref, rs_ref, dx_ref, ds_ref, db_ref,
+                           dw1_ref, db1_ref, dw2_ref, db2_ref, drs_ref, *,
+                           eps, n_rows, gelu_mode):
+    _kernel_bwd_onepass(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        g_ref, dx_ref, ds_ref, db_ref, dw1_ref, db1_ref,
+                        dw2_ref, db2_ref, None, eps=eps, n_rows=n_rows,
+                        gelu_mode=gelu_mode, rs_ref=rs_ref, drs_ref=drs_ref)
+
+
+def _pick_rows_onepass(rows: int, C: int, H: int, itemsize: int) -> int:
+    """Row block for the one-pass backward: full-H weights (single
+    buffer, constant index maps) + resident f32 dW1/dW2 + the row block's
+    f32 hidden temps (z, dh) and bf16 casts."""
+    budget = _MLP_VMEM_BUDGET
+    fixed = 2 * C * H * itemsize + 2 * C * H * 4     # w1+w2, dW1+dW2
+    for R in (256, 128, 64, 32, 16, 8):
+        act = (R * C * (6 * itemsize + 20)   # x,g,dx x2buf + f32 row temps
+               + R * H * (8 + 2 * itemsize))  # z+dh f32, h/dz bf16 casts
+        if fixed + act <= budget:
+            return R
+    return 0
+
+
+# one-pass backward: default OFF — measured 54.3 vs 60.2 clips/s on the
+# B=16 pretrain step (2026-08-19). Removing the pair's duplicate
+# recompute was not enough: the full-H resident dW1/dW2 leave only
+# R=32-row blocks at stage 2 (12.6 MB of weights+grads in VMEM), and the
+# dW accumulation chains serialize 784 sequential programs against the
+# MXU, where the XLA backward's separate dots schedule freely against
+# the rest of the graph. Kept as an opt-in measured experiment
+# (CLOVER_MLP_BWD1=auto), parity-tested for both gelu modes.
+_BWD_ONEPASS = _os.environ.get("CLOVER_MLP_BWD1", "0")
+
+
+def _backward_onepass(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
+                      gelu_mode, g):
+    if _BWD_ONEPASS == "0" or (not _on_tpu() and not _FORCE_PALLAS):
+        return None
+    rows, C = x.shape
+    H = w1.shape[1]
+    R = _pick_rows_onepass(rows, C, H, x.dtype.itemsize)
+    if R == 0:
+        return None
+    n_i = pl.cdiv(rows, R)
+    f32 = jnp.float32
+    dt = x.dtype
+    has_rs = row_scale is not None
+
+    row_spec = pl.BlockSpec((R, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vecC = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vecH = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    rs_spec = pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    args = [x, scale.astype(f32).reshape(1, C), bias.astype(f32).reshape(1, C),
+            w1.astype(dt), b1.astype(f32).reshape(1, H),
+            w2.astype(dt), b2.astype(f32).reshape(1, C), g.astype(dt)]
+    in_specs = [row_spec, vecC, vecC, w1_spec, vecH, w2_spec, vecC, row_spec]
+    out_specs = [row_spec, vecC, vecC, w1_spec, vecH, w2_spec, vecC]
+    out_shapes = [jax.ShapeDtypeStruct((rows, C), dt),
+                  jax.ShapeDtypeStruct((1, C), f32),
+                  jax.ShapeDtypeStruct((1, C), f32),
+                  jax.ShapeDtypeStruct((C, H), f32),
+                  jax.ShapeDtypeStruct((1, H), f32),
+                  jax.ShapeDtypeStruct((H, C), f32),
+                  jax.ShapeDtypeStruct((1, C), f32)]
+    kwargs = dict(eps=eps, n_rows=rows, gelu_mode=gelu_mode)
+    if has_rs:
+        args.append(row_scale.astype(f32).reshape(rows, 1))
+        in_specs.append(rs_spec)
+        out_specs.append(rs_spec)
+        out_shapes.append(jax.ShapeDtypeStruct((rows, 1), f32))
+        kern = functools.partial(_kernel_bwd_onepass_rs, **kwargs)
+    else:
+        kern = functools.partial(_kernel_bwd_onepass, out_extra=None, **kwargs)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_i,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=(12 if has_rs else 10) * rows * C * H,
+            bytes_accessed=(3 * rows * C + 2 * C * H) * x.dtype.itemsize
+            + 2 * C * H * 4,
+            transcendentals=2 * rows * H),
+        interpret=not _on_tpu(),
+    )(*args)
+    dx, dscale, dbias, dw1, db1, dw2, db2 = outs[:7]
+    result = (dx, dscale.reshape(C).astype(scale.dtype),
+              dbias.reshape(C).astype(bias.dtype),
+              dw1.astype(w1.dtype), db1.reshape(H).astype(b1.dtype),
+              dw2.astype(w2.dtype), db2.reshape(C).astype(b2.dtype))
+    if has_rs:
+        drs = outs[7].reshape(row_scale.shape).astype(row_scale.dtype)
+        return result + (drs,)
+    return result + (None,)
+
+
 def _backward_pallas(x, scale, bias, w1, b1, w2, b2, row_scale, eps, g):
     """(dx, dscale, dbias, dw1, db1, dw2, db2[, drs]) or None."""
     if not _on_tpu() and not _FORCE_PALLAS:
@@ -714,6 +896,10 @@ def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
 def _bwd(eps, gelu, residuals, g):
     x, scale, bias, w1, b1, w2, b2, row_scale = residuals
     mode = _resolve_gelu(gelu)
+    out = _backward_onepass(x, scale, bias, w1, b1, w2, b2, row_scale,
+                            eps, mode, g)
+    if out is not None:
+        return out
     if _BWD_KERNEL and mode == "erf":
         # the opt-in bwd kernel pair hardcodes the erf gradient
         out = _backward_pallas(x, scale, bias, w1, b1, w2, b2, row_scale,

@@ -268,3 +268,39 @@ def test_explicit_backward_is_default_vjp():
         lhs, rhs = operands.split(",")[0], operands.split(",")[1]
         assert "tensor<f32" not in lhs and "tensor<f32" not in rhs, (
             f"f32-operand dot in lowered grad HLO: ({operands})")
+
+
+@pytest.mark.parametrize("mode", ["erf", "tanh"])
+@pytest.mark.parametrize("with_rs,ragged", [(False, False), (True, True)])
+def test_onepass_bwd_matches_xla_grads(mode, with_rs, ragged, monkeypatch):
+    """One-pass fused backward (full-H resident, grid over row blocks)
+    vs the explicit XLA backward, incl. masked tail rows and DropPath."""
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    monkeypatch.setattr(MB, "_BWD_ONEPASS", "auto")
+    monkeypatch.setattr(MB, "_pick_rows_onepass", lambda rows, C, H, i: 16)
+    rng = np.random.default_rng(11)
+    rows = 44 if ragged else 48
+    C, H = 64, 256
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    rs = (jnp.asarray((rng.random(rows) > 0.3).astype(np.float32) / 0.7)
+          if with_rs else None)
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+
+    got = MB._backward_onepass(x, scale, bias, w1, b1, w2, b2, rs, 1e-5,
+                               mode, g)
+    assert got is not None
+    ref = MB._xla_backward(x, scale, bias, w1, b1, w2, b2, rs, 1e-5, mode, g)
+    names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2", "drs"]
+    for n, a, b in zip(names, got, ref):
+        if b is None:
+            assert a is None, n
+            continue
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-4, atol=2e-4, err_msg=n)

@@ -23,10 +23,14 @@ import argparse
 import collections
 import re
 
-# v5e per-chip peaks (public spec): 197 TFLOP/s bf16; fp32-operand GEMMs
-# run via multi-pass decomposition at ~1/4 the bf16 rate; HBM ~819 GB/s.
+# v5e per-chip peaks (public spec): 197 TFLOP/s bf16; HBM ~819 GB/s.
+# f32-OPERAND GEMMs: under jax/XLA DEFAULT matmul precision the MXU runs
+# them as ONE bf16 pass (operands truncated) — measured here: explicitly
+# casting the 2.42 TF/step of f32-operand MLP-bwd dots to bf16 changed
+# throughput by 0.0% (BASELINE.md r3). Price them at the bf16 rate;
+# --f32-divisor 4 models HIGHEST-precision (multi-pass) instead.
 PEAK_BF16 = 197e12
-F32_RATE = PEAK_BF16 / 4
+F32_DIVISOR = 1.0
 HBM_BPS = 819e9
 
 
@@ -68,9 +72,10 @@ def parse_gemms(path: str):
     return rows
 
 
-def gemm_times(M, K, N, adt, bdt):
+def gemm_times(M, K, N, adt, bdt, f32_divisor=1.0):
     """(dense_s, padded_s): MXU time at the operand-dtype rate."""
-    rate = PEAK_BF16 if (adt != "f32" and bdt != "f32") else F32_RATE
+    rate = (PEAK_BF16 if (adt != "f32" and bdt != "f32")
+            else PEAK_BF16 / f32_divisor)
     dense = 2.0 * M * K * N / rate
     padded = 2.0 * _pad(M, 8) * _pad(K, 128) * _pad(N, 128) / rate
     return dense, padded
@@ -122,13 +127,14 @@ def main():
                     help="total HBM bytes/step (from cost_analysis)")
     ap.add_argument("--measured-ms", type=float, default=None)
     ap.add_argument("--attn-batch", type=int, default=16)
+    ap.add_argument("--f32-divisor", type=float, default=1.0)
     args = ap.parse_args()
 
     rows = parse_gemms(args.hlo) + attn_dots(B=args.attn_batch)
     per_src = collections.defaultdict(lambda: [0.0, 0.0, 0])
     tot_d = tot_p = 0.0
     for M, K, N, adt, bdt, src in rows:
-        d, p = gemm_times(M, K, N, adt, bdt)
+        d, p = gemm_times(M, K, N, adt, bdt, args.f32_divisor)
         key = (src, "f32" if "f32" in (adt, bdt) else "bf16")
         per_src[key][0] += d
         per_src[key][1] += p

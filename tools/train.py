@@ -356,7 +356,15 @@ def main():
         train_steps=train_steps,
         train_loaders=loaders,
         batch_to_device=batch_to_device,
-        rng=jax.random.PRNGKey(args.seed + 1),
+        # dropout rng: the hardware RNG ('rbg', XLA RngBitGenerator)
+        # generates mask bits ~free where threefry costs real VPU time
+        # (+2.4% pretrain step, BASELINE.md r3). Deterministic per key;
+        # the bit STREAM differs from threefry and may differ across
+        # backends — fine for dropout (the reference's cuDNN dropout
+        # streams were never bit-matched either). CLOVER_TRAIN_RNG=
+        # threefry restores the portable stream.
+        rng=jax.random.key(args.seed + 1,
+                           impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg")),
         total_epochs=cfg.total_epochs,
         # only rank 0 writes metrics.jsonl/tb (reference DDP convention);
         # every rank still logs to its own stdout
