@@ -367,3 +367,31 @@ def test_step_level_clip_matches_optax_chain(retrieval_setup):
     for a, b in zip(jax.tree_util.tree_leaves(s_chain.params),
                     jax.tree_util.tree_leaves(s_step.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rbg_train_rng_deterministic(retrieval_setup):
+    """The hardware-RNG train key (tools/train.py r3 default: rbg
+    dropout bits) is deterministic per key: identical steps from
+    identical state+key, different dropout draws across steps (the step
+    folds the global step into the key)."""
+    ds, model, loader, to_model_batch, params = retrieval_setup
+    batch = to_model_batch(next(iter(loader)))
+    rng = jax.random.key(5, impl="rbg")
+    step_fn = make_retrieval_train_step(model, grad_clip_norm=5.0)
+
+    def run(n):
+        tx, _ = make_optimizer(_copy(params), base_lr=1e-2, total_steps=50,
+                               warmup_steps=0, weight_decay=0.0)
+        st = TrainState.create(_copy(params), tx)
+        ms = []
+        for _ in range(n):
+            st, m = step_fn(st, batch, rng)
+            ms.append(float(m["loss"]))
+        return st, ms
+
+    s1, m1 = run(2)
+    s2, m2 = run(2)
+    assert m1 == m2  # bit-deterministic across reruns
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
