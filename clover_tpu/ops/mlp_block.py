@@ -238,8 +238,61 @@ def _fwd_postln(x, scale, bias, w1, b1, w2, b2, eps):
         x, scale, bias, w1, b1, w2, b2)
 
 
+def _xla_backward_postln(x, scale, bias, w1, b1, w2, b2, eps, g):
+    """Explicit recompute backward for the post-LN half with bf16 GEMM
+    operands (the jax.vjp of ``_xla_reference_postln`` feeds the f32 LN
+    cotangent straight into the w2-transpose dots — f32-operand GEMMs at
+    the BERT/fusion-tower shapes; same fix as ``_xla_backward`` for the
+    pre-LN Swin half). gelu' uses the A&S rational erf (|err|<=1.5e-7).
+    Parity-tested against the f32-cotangent vjp."""
+    dt = x.dtype
+    f32 = jnp.float32
+    w1_bf, w2_bf = w1.astype(dt), w2.astype(dt)
+    zpre = jnp.dot(x, w1_bf, preferred_element_type=f32) + b1
+    if _BWD_HBM_BF16:
+        zpre = zpre.astype(dt).astype(f32)
+    h = jax.nn.gelu(zpre, approximate=False)
+    h_bf = h.astype(dt)
+    y = jnp.dot(h_bf, w2_bf, preferred_element_type=f32) + b2
+    z = x.astype(f32) + y
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    zn = zc * inv
+
+    g32 = g.astype(f32)
+    dscale = jnp.sum(g32 * zn, axis=0)
+    dbias = jnp.sum(g32, axis=0)
+    dzn = g32 * scale
+    dz = inv * (dzn - jnp.mean(dzn, axis=-1, keepdims=True)
+                - zn * jnp.mean(dzn * zn, axis=-1, keepdims=True))
+    dz_bf = dz.astype(dt)
+    dh = jax.lax.dot_general(dz_bf, w2_bf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    if _BWD_HBM_BF16:
+        dh = dh.astype(dt).astype(f32)
+    dzpre = dh * _gelu_grad(zpre, "erf")
+    dzpre_bf = dzpre.astype(dt)
+    dx2 = jax.lax.dot_general(dzpre_bf, w1_bf, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dw1 = jax.lax.dot_general(x, dzpre_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db1 = (jnp.sum(dzpre_bf.astype(f32), axis=0) if _BWD_HBM_BF16
+           else jnp.sum(dzpre, axis=0))
+    dw2 = jax.lax.dot_general(h_bf, dz_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db2 = jnp.sum(dz, axis=0)
+    dx = (dz + dx2).astype(dt)
+    return (dx, dscale.astype(scale.dtype), dbias.astype(bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
 def _bwd_postln(eps, residuals, g):
     x, scale, bias, w1, b1, w2, b2 = residuals
+    if not _BWD_F32:
+        return _xla_backward_postln(x, scale, bias, w1, b1, w2, b2, eps, g)
     _, vjp = jax.vjp(lambda *a: _xla_reference_postln(*a, eps),
                      x, scale, bias, w1, b1, w2, b2)
     return vjp(g)
@@ -830,6 +883,15 @@ def _gelu_grad(z, mode: str):
 # whose dot transposes consume the f32 cotangent directly (see below).
 _BWD_F32 = _os.environ.get("CLOVER_MLP_BWD_F32", "0") == "1"
 
+# HBM dtype for the backward's (rows, 4C) recompute crossings (z, dh, dz).
+# The r3 train trace shows them materializing as f32 fusion roots
+# (f32[25088,2048] conv_add per stage-2 block = 205 MB each, written once
+# and read by two consumer GEMM fusions); 'bf16' casts them at the fusion
+# root so half the bytes cross HBM. Extra bf16 rounding on z before
+# gelu/gelu' is the same order as the bf16 dot-input rounding the forward
+# already carries. 'f32' restores the exact-recompute crossings.
+_BWD_HBM_BF16 = _os.environ.get("CLOVER_MLP_BWD_HBM", "f32") != "f32"
+
 
 def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
     """Explicit recompute backward with bf16 GEMM operands throughout.
@@ -856,6 +918,10 @@ def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
     y_bf = (xn_raw * scale + bias).astype(dt)
     w1_bf, w2_bf = w1.astype(dt), w2.astype(dt)
     z = jnp.dot(y_bf, w1_bf, preferred_element_type=f32) + b1
+    if _BWD_HBM_BF16:
+        # round-trip through dt at the fusion root: the (rows, H) GEMM
+        # result crosses HBM as bf16; consumers re-expand in-fusion
+        z = z.astype(dt).astype(f32)
     h = _gelu(z, mode)
     h_bf = h.astype(dt)
 
@@ -866,13 +932,16 @@ def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
     gy_bf = gy.astype(dt)
     dh = jax.lax.dot_general(gy_bf, w2_bf, (((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
+    if _BWD_HBM_BF16:
+        dh = dh.astype(dt).astype(f32)
     dz = dh * _gelu_grad(z, mode)
     dz_bf = dz.astype(dt)
     dy = jax.lax.dot_general(dz_bf, w1_bf, (((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
     dw1 = jax.lax.dot_general(y_bf, dz_bf, (((0,), (0,)), ((), ())),
                               preferred_element_type=f32)
-    db1 = jnp.sum(dz, axis=0)
+    db1 = (jnp.sum(dz_bf.astype(f32), axis=0) if _BWD_HBM_BF16
+           else jnp.sum(dz, axis=0))
     dw2 = jax.lax.dot_general(h_bf, gy_bf, (((0,), (0,)), ((), ())),
                               preferred_element_type=f32)
     db2 = jnp.sum(gy, axis=0)

@@ -242,6 +242,33 @@ def test_explicit_backward_matches_f32_vjp(mode, with_rs):
                                    err_msg=n)
 
 
+def test_explicit_postln_backward_matches_f32_vjp():
+    """The post-LN (BERT/fusion) explicit bf16-operand backward must match
+    the f32-cotangent vjp to bf16-rounding tolerance (same contract as the
+    pre-LN _xla_backward test above)."""
+    rng = np.random.default_rng(11)
+    rows, C, H = 48, 64, 256
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+
+    got = MB._xla_backward_postln(x, scale, bias, w1, b1, w2, b2, 1e-12, g)
+    _, vjp = jax.vjp(lambda *a: MB._xla_reference_postln(*a, 1e-12),
+                     x, scale, bias, w1, b1, w2, b2)
+    ref = vjp(g)
+    names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2"]
+    for n, a, b in zip(names, got, ref):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        den = max(1.0, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a / den, b / den, rtol=0, atol=4e-3,
+                                   err_msg=n)
+
+
 def test_explicit_backward_is_default_vjp():
     """fused_ln_mlp_residual's grad path goes through _xla_backward by
     default (no f32-operand GEMMs in the lowered HLO)."""
