@@ -1,0 +1,838 @@
+"""Parity against the reference's OWN code (VERDICT r3 item 1).
+
+These tests import the reference's torch modules from /root/reference via
+tests/reference_shim.py (timm/mmcv stubbed; torch/transformers/einops are
+real) and assert forward AND gradient parity against clover_tpu on shared
+converted weights. This replaces re-derived goldens with the reference
+itself as the oracle.
+
+Conventions:
+- reference layout NCDHW / (B, C, T, H, W); clover_tpu channels-last.
+- both sides run fp32, eval-mode dropout (deterministic=True).
+- gradient parity is checked w.r.t. the *inputs* through the full module
+  (backprops every internal op on both sides, no weight-name mapping
+  needed for the cotangents).
+- tolerances are normalized max-abs error (fp32 accumulation-order noise).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "tests")
+from reference_shim import (  # noqa: E402
+    ensure_world1_process_group,
+    load_ref,
+    local_bert_factories,
+)
+
+from clover_tpu.losses.classification import (  # noqa: E402
+    cross_entropy,
+    masked_lm_focal_loss,
+    softmax_focal_multiclass,
+)
+from clover_tpu.losses.contrastive import (  # noqa: E402
+    exclusive_nce_with_ranking,
+    norm_softmax_loss,
+)
+from clover_tpu.models.bert import BertConfig, BertTextEncoder  # noqa: E402
+from clover_tpu.models.convert import (  # noqa: E402
+    convert_bert_embeddings,
+    convert_bert_encoder,
+    convert_hf_bert,
+    convert_mlm_head,
+    convert_swin3d,
+)
+from clover_tpu.models.fusion import CrossModalTransformer, FusionConfig  # noqa: E402
+from clover_tpu.models.heads import (  # noqa: E402
+    ITMHead,
+    MLMHead,
+    NCEHeadForMM,
+    NCEHeadForText,
+    NCEHeadForVision,
+    QAMCHead,
+    QAOEHead,
+)
+from clover_tpu.models.swin3d import SwinConfig, SwinTransformer3D  # noqa: E402
+
+
+def norm_err(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
+
+
+def _sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _lin(sd, prefix):
+    out = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+# ------------------------------------------------------------------ Swin3D
+
+
+TINY = dict(embed_dim=16, depths=[2, 2], num_heads=[2, 4],
+            window_size=(2, 4, 4), patch_size=(2, 4, 4), stride=(2, 4, 4),
+            drop_path_rate=0.0, drop_rate=0.0, attn_drop_rate=0.0)
+
+
+def _ref_swin(**over):
+    swin_mod = load_ref("models/backbones/swin_transformer_3d.py",
+                        "mmaction.models.backbones.swin_transformer_3d")
+    kwargs = dict(TINY, pretrained=None, pretrained2d=False)
+    kwargs.update(over)
+    torch.manual_seed(3)
+    model = swin_mod.SwinTransformer3D(**kwargs)
+    model.eval()
+    return model
+
+
+def _my_swin_cfg(**over):
+    kwargs = dict(
+        embed_dim=TINY["embed_dim"], depths=tuple(TINY["depths"]),
+        num_heads=tuple(TINY["num_heads"]), window_size=TINY["window_size"],
+        drop_path_rate=0.0, gelu="erf")
+    kwargs.update(over)
+    return SwinConfig(**kwargs)
+
+
+def test_ref_swin_tiny_forward_and_input_grad(rng):
+    """Reference SwinTransformer3D (swin_transformer_3d.py:19-247) vs
+    clover_tpu on converted weights: forward + d(loss)/d(input).
+
+    32x32 input -> 8x8 latent with window 4 exercises the shifted-window
+    mask path (block 1 of each stage shifts by 2)."""
+    ref = _ref_swin()
+    x = rng.normal(size=(2, 3, 4, 32, 32)).astype(np.float32)
+    wvec = rng.normal(size=(2, 32, 2, 4, 4)).astype(np.float32)
+
+    xt = torch.tensor(x, requires_grad=True)
+    out_ref = ref(xt)
+    (out_ref * torch.tensor(wvec)).sum().backward()
+    gx_ref = xt.grad.numpy()
+    out_ref = out_ref.detach().numpy()
+
+    params = convert_swin3d(_sd(ref), TINY["depths"], prefix="")
+    model = SwinTransformer3D(_my_swin_cfg(), dtype=jnp.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))          # -> channels-last
+    wj = jnp.asarray(wvec.transpose(0, 2, 3, 4, 1))
+
+    def loss_fn(xi):
+        return (model.apply({"params": params}, xi) * wj).sum()
+
+    out = model.apply({"params": params}, xj)
+    gx = jax.grad(loss_fn)(xj)
+
+    assert norm_err(np.asarray(out).transpose(0, 4, 1, 2, 3), out_ref) < 2e-5
+    assert norm_err(np.asarray(gx).transpose(0, 4, 1, 2, 3), gx_ref) < 2e-4
+
+
+def test_ref_swin_tiny_mask_token_parity(rng):
+    """SimMIM mask-token mixing (reference forward :218-230) including the
+    coarse-mask upsample (H//mh blocks)."""
+    ref = _ref_swin(mask_token=True)
+    x = rng.normal(size=(1, 3, 4, 32, 32)).astype(np.float32)
+    mask = (rng.uniform(size=(1, 1, 4, 4)) > 0.5).astype(np.int64)  # 8x8 latent, 2x2 blocks
+
+    with torch.no_grad():
+        out_ref, w_ref = ref(torch.tensor(x), torch.tensor(mask))
+
+    params = convert_swin3d(_sd(ref), TINY["depths"], prefix="")
+    model = SwinTransformer3D(_my_swin_cfg(mask_token=True), dtype=jnp.float32)
+    out, w = model.apply({"params": params},
+                         jnp.asarray(x.transpose(0, 2, 3, 4, 1)),
+                         jnp.asarray(mask[:, 0]))
+    assert norm_err(np.asarray(out).transpose(0, 4, 1, 2, 3),
+                    out_ref.numpy()) < 2e-5
+    # reference w: (B, 1, T, H, W); ours (B, T, H, W, 1)
+    np.testing.assert_array_equal(
+        np.asarray(w)[..., 0], w_ref.numpy()[:, 0])
+
+
+def test_ref_swin_temporal_clamp_parity(rng):
+    """Window larger than the latent temporal extent (the live 8-frame
+    train case, reference get_window_size :302-315): T latent 2 < window 8.
+
+    Single stage: spatial extents stay >= the spatial window, like every
+    live config — for spatially-clamped windows the reference's
+    relative_position_index[:N,:N] slice picks wrong bias bins (documented
+    intentional divergence, swin3d.py module docstring), so that case is
+    excluded here."""
+    depths = [2]
+    ref = _ref_swin(window_size=(8, 4, 4), depths=depths, num_heads=[2])
+    x = rng.normal(size=(1, 3, 4, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+    params = convert_swin3d(_sd(ref), depths, prefix="")
+    model = SwinTransformer3D(
+        _my_swin_cfg(window_size=(8, 4, 4), depths=(2,), num_heads=(2,)),
+        dtype=jnp.float32)
+    out = model.apply({"params": params},
+                      jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    assert norm_err(np.asarray(out).transpose(0, 4, 1, 2, 3), out_ref) < 2e-5
+
+
+@pytest.mark.slow
+def test_ref_swin_base_fullsize_forward(rng):
+    """True Swin-B (embed 128, depths 2-2-18-2, window (8,7,7)) at 224x224:
+    the flagship backbone shape, reference code as oracle."""
+    depths = [2, 2, 18, 2]
+    ref = _ref_swin(embed_dim=128, depths=depths, num_heads=[4, 8, 16, 32],
+                    window_size=(8, 7, 7))
+    x = rng.normal(size=(1, 3, 4, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+
+    params = convert_swin3d(_sd(ref), depths, prefix="")
+    cfg = _my_swin_cfg(embed_dim=128, depths=(2, 2, 18, 2),
+                       num_heads=(4, 8, 16, 32), window_size=(8, 7, 7))
+    model = SwinTransformer3D(cfg, dtype=jnp.float32)
+    out = jax.jit(lambda p, xi: model.apply({"params": p}, xi))(
+        params, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    assert norm_err(np.asarray(out).transpose(0, 4, 1, 2, 3), out_ref) < 5e-5
+
+
+# ------------------------------------------------- CrossModalTransformer
+
+
+CT_HID, CT_LAYERS, CT_HEADS, CT_VOCAB = 64, 2, 4, 128
+
+
+def _ref_cross_transformer(**over):
+    ct_mod = load_ref("models/backbones/cross_transformer.py",
+                      "mmaction.models.backbones.cross_transformer")
+    cfg_cls, factories = local_bert_factories(
+        hidden_size=CT_HID, num_layers=CT_LAYERS, heads=CT_HEADS,
+        vocab_size=CT_VOCAB, seed=11)
+    ct_mod.BertConfig = cfg_cls
+    ct_mod.BertForPreTraining = factories["BertForPreTraining"]
+    kwargs = dict(img_in_size=32, hidden_size=CT_HID, num_frames=2,
+                  spacial_tokens=16, num_hidden_layers=CT_LAYERS,
+                  use_text_cls=True)
+    kwargs.update(over)
+    torch.manual_seed(5)
+    model = ct_mod.CrossModalTransformerFromPretrained(**kwargs)
+    model.eval()
+    return model
+
+
+def _ct_params(ref, use_text_cls=True):
+    sd = _sd(ref)
+    params = {
+        "embeddings": convert_bert_embeddings(sd, "bert_embedding"),
+        "encoder": convert_bert_encoder(sd, "bert_encoder", CT_LAYERS),
+        "token_type_embeddings": {"embedding": sd["token_type_embeddings.weight"]},
+        "vis_space_pos": sd["vis_space_pos"],
+        "vis_tempor_pos": sd["vis_tempor_pos"],
+        "visual_norm": _ln(sd, "norm"),
+    }
+    if "fc_in.weight" in sd:
+        params["fc_in"] = _lin(sd, "fc_in")
+    if not use_text_cls:
+        params["all_cls_token"] = sd["all_cls_token"]
+    return params
+
+
+def _my_fusion(use_text_cls=True):
+    bert_cfg = BertConfig(
+        vocab_size=CT_VOCAB, hidden_size=CT_HID, num_hidden_layers=CT_LAYERS,
+        num_attention_heads=CT_HEADS, intermediate_size=CT_HID * 4,
+        hidden_dropout=0.0, attention_dropout=0.0)
+    cfg = FusionConfig(bert=bert_cfg, img_in_size=32, hidden_size=CT_HID,
+                       num_frames=2, spatial_tokens=16,
+                       use_text_cls=use_text_cls)
+    return CrossModalTransformer(cfg, dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("use_text_cls", [True, False])
+def test_ref_cross_transformer_forward_and_grad(rng, use_text_cls):
+    """Reference CrossModalTransformerFromPretrained.forward
+    (cross_transformer.py:65-124) vs clover_tpu fusion: outputs + input
+    grads. use_text_cls=True is the flagship config (no all-CLS token);
+    False exercises the all-CLS concat path."""
+    ref = _ref_cross_transformer(use_text_cls=use_text_cls)
+    B, T, S, St = 2, 2, 16, 9
+    v = rng.normal(size=(B, T, S, 32)).astype(np.float32)
+    ids = rng.integers(0, CT_VOCAB, size=(B, St))
+    mask = np.ones((B, St), dtype=np.int64)
+    mask[1, 6:] = 0
+
+    vt = torch.tensor(v, requires_grad=True)
+    out_ref = ref(visual_token=vt, text_input_ids=torch.tensor(ids),
+                  text_input_mask=torch.tensor(mask))
+    wvec = rng.normal(size=tuple(out_ref["last_hidden_state"].shape)).astype(np.float32)
+    (out_ref["last_hidden_state"] * torch.tensor(wvec)).sum().backward()
+    gv_ref = vt.grad.numpy()
+
+    model = _my_fusion(use_text_cls)
+    params = _ct_params(ref, use_text_cls)
+    vj, wj = jnp.asarray(v), jnp.asarray(wvec)
+
+    def apply(vi):
+        return model.apply({"params": params}, vi, jnp.asarray(mask),
+                           text_input_ids=jnp.asarray(ids))
+
+    out = apply(vj)
+    gv = jax.grad(lambda vi: (apply(vi)["last_hidden_state"] * wj).sum())(vj)
+
+    for key in ("last_hidden_state", "t_last_hidden_state", "v_last_hidden_state"):
+        assert norm_err(np.asarray(out[key]),
+                        out_ref[key].detach().numpy()) < 2e-5, key
+    if not use_text_cls:
+        assert norm_err(np.asarray(out["cls_last_hidden_state"]),
+                        out_ref["cls_last_hidden_state"].detach().numpy()) < 2e-5
+    assert norm_err(np.asarray(gv), gv_ref) < 2e-4
+
+
+def test_ref_cross_transformer_forward_text(rng):
+    """forward_text (cross_transformer.py:126-141): text-only fusion pass."""
+    ref = _ref_cross_transformer()
+    B, St = 2, 7
+    ids = rng.integers(0, CT_VOCAB, size=(B, St))
+    mask = np.ones((B, St), dtype=np.int64)
+    mask[0, 5:] = 0
+    with torch.no_grad():
+        out_ref = ref.forward_text(
+            text_input_ids=torch.tensor(ids),
+            text_input_mask=torch.tensor(mask))["last_hidden_state"].numpy()
+    model = _my_fusion()
+    out = model.apply({"params": _ct_params(ref)}, jnp.asarray(ids),
+                      jnp.asarray(mask), method=CrossModalTransformer.forward_text)
+    assert norm_err(np.asarray(out), out_ref) < 2e-5
+
+
+def test_ref_cross_transformer_candidate_expansion(rng):
+    """The milnce reshape branch (cross_transformer.py:79-82): text batch a
+    multiple of the video batch folds into (B, n*seq)."""
+    ref = _ref_cross_transformer()
+    B, n, T, S, St = 2, 3, 2, 16, 5
+    v = rng.normal(size=(B, T, S, 32)).astype(np.float32)
+    ids = rng.integers(0, CT_VOCAB, size=(B * n, St))
+    mask = np.ones((B * n, St), dtype=np.int64)
+    # reference consumes pre-embedded text in this branch
+    with torch.no_grad():
+        text_emb = ref.bert_embedding(input_ids=torch.tensor(ids)).numpy()
+        out_ref = ref(visual_token=torch.tensor(v),
+                      text_input_embeds=torch.tensor(text_emb),
+                      text_input_mask=torch.tensor(mask))["last_hidden_state"].numpy()
+    model = _my_fusion()
+    out = model.apply({"params": _ct_params(ref)}, jnp.asarray(v),
+                      jnp.asarray(mask), text_input_embeds=jnp.asarray(text_emb))
+    assert norm_err(np.asarray(out["last_hidden_state"]), out_ref) < 2e-5
+
+
+# ------------------------------------------------------------- text tower
+
+
+def test_ref_bert_backbone_parity(rng):
+    """BertFromPretrained (bert_from_hugface.py:8-32) vs BertTextEncoder."""
+    bert_mod = load_ref("models/backbones/bert_from_hugface.py",
+                        "mmaction.models.backbones.bert_from_hugface")
+    cfg_cls, factories = local_bert_factories(
+        hidden_size=CT_HID, num_layers=CT_LAYERS, heads=CT_HEADS,
+        vocab_size=CT_VOCAB, seed=13)
+    bert_mod.BertConfig = cfg_cls
+    bert_mod.BertModel = factories["BertModel"]
+    ref = bert_mod.BertFromPretrained(num_hidden_layers=CT_LAYERS)
+    ref.eval()
+
+    B, St = 2, 11
+    ids = rng.integers(0, CT_VOCAB, size=(B, St))
+    mask = np.ones((B, St), dtype=np.int64)
+    mask[1, 8:] = 0
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(ids),
+                      torch.tensor(mask))["last_hidden_state"].numpy()
+
+    sd = _sd(ref)
+    params = convert_hf_bert(sd, CT_LAYERS, prefix="bert")
+    cfg = BertConfig(vocab_size=CT_VOCAB, hidden_size=CT_HID,
+                     num_hidden_layers=CT_LAYERS, num_attention_heads=CT_HEADS,
+                     intermediate_size=CT_HID * 4, hidden_dropout=0.0,
+                     attention_dropout=0.0)
+    out = BertTextEncoder(cfg, dtype=jnp.float32).apply(
+        {"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+    assert norm_err(np.asarray(out), out_ref) < 2e-5
+
+
+# ----------------------------------------------------------------- losses
+
+
+@pytest.fixture(scope="module")
+def world1(tmp_path_factory):
+    ensure_world1_process_group(str(tmp_path_factory.mktemp("pg") / "init"))
+
+
+def test_ref_norm_softmax_loss(rng, world1):
+    """NormSoftmaxLoss (contrastive_loss.py:28-68), real GatherLoss at
+    world=1, value + input grads, both cos_sim branches."""
+    loss_mod = load_ref("models/losses/contrastive_loss.py",
+                        "mmaction.models.losses.contrastive_loss")
+    v = rng.normal(size=(6, 16)).astype(np.float32)
+    t = rng.normal(size=(6, 16)).astype(np.float32)
+    for cos_sim in (False, True):
+        ref = loss_mod.NormSoftmaxLoss(temperature=0.07, cos_sim=cos_sim)
+        vt = torch.tensor(v, requires_grad=True)
+        tt = torch.tensor(t, requires_grad=True)
+        loss_ref = ref(vt, tt)
+        loss_ref.backward()
+
+        loss, (gv, gt) = jax.value_and_grad(
+            lambda vi, ti: norm_softmax_loss(vi, ti, temperature=0.07,
+                                             cos_sim=cos_sim),
+            argnums=(0, 1))(jnp.asarray(v), jnp.asarray(t))
+        assert abs(float(loss) - float(loss_ref)) < 1e-5
+        assert norm_err(np.asarray(gv), vt.grad.numpy()) < 1e-4
+        assert norm_err(np.asarray(gt), tt.grad.numpy()) < 1e-4
+
+
+def test_ref_exclusive_nce_with_ranking(rng, world1):
+    """ExclusiveNCEwithRankingLoss (contrastive_loss.py:71-161) with the
+    flagship config (use_rank=True, rank_ttm, no rank_trtm): every loss
+    term + input grads, VariedShapeGatherLoss running for real."""
+    loss_mod = load_ref("models/losses/contrastive_loss.py",
+                        "mmaction.models.losses.contrastive_loss")
+    ref = loss_mod.ExclusiveNCEwithRankingLoss(
+        temperature=0.05, use_rank=True, use_rank_ttm=True,
+        use_rank_trtm=False, margin_ttm=5.0)
+    B, D = 5, 12
+    arrs = [rng.normal(size=(B, D)).astype(np.float32) for _ in range(4)]
+    tens = [torch.tensor(a, requires_grad=True) for a in arrs]
+    losses_ref = ref(*tens)
+    total_ref = losses_ref["nce_loss"] + losses_ref["rank_t_tm_loss"]
+    total_ref.backward()
+
+    def total(v, t, tm, tr):
+        d = exclusive_nce_with_ranking(v, t, tm, tr, temperature=0.05,
+                                       use_rank=True, use_rank_ttm=True,
+                                       margin_ttm=5.0)
+        return d["nce_loss"] + d["rank_t_tm_loss"], d
+
+    (tot, d), grads = jax.value_and_grad(total, argnums=(0, 1, 2, 3),
+                                         has_aux=True)(
+        *[jnp.asarray(a) for a in arrs])
+    assert abs(float(d["nce_loss"]) - float(losses_ref["nce_loss"])) < 1e-5
+    assert abs(float(d["rank_t_tm_loss"])
+               - float(losses_ref["rank_t_tm_loss"])) < 1e-5
+    for g, t in zip(grads, tens):
+        assert norm_err(np.asarray(g), t.grad.numpy()) < 1e-4
+
+
+def test_ref_focal_and_ce_loss(rng):
+    """SoftmaxFocalLossMultiClass (focal_loss.py:50-74) + CrossEntropyLoss
+    (cross_entropy_loss.py), incl. the masked-row-gather MLM application
+    (multimodal_transformer_pretrain.py:136-140) vs masked_lm_focal_loss."""
+    load_ref("models/losses/base.py", "mmaction.models.losses.base")
+    focal_mod = load_ref("models/losses/focal_loss.py",
+                         "mmaction.models.losses.focal_loss")
+    logits = rng.normal(size=(10, 33)).astype(np.float32)
+    labels = rng.integers(0, 33, size=(10,))
+    ref = focal_mod.SoftmaxFocalLossMultiClass(gamma=2.0)
+    lt = torch.tensor(logits, requires_grad=True)
+    loss_ref = ref(lt, torch.tensor(labels))
+    loss_ref.backward()
+    loss, g = jax.value_and_grad(
+        lambda l: softmax_focal_multiclass(l, jnp.asarray(labels)))(
+        jnp.asarray(logits))
+    assert abs(float(loss) - float(loss_ref)) < 1e-6
+    assert norm_err(np.asarray(g), lt.grad.numpy()) < 1e-4
+
+    # masked-LM application: gather rows where label != -100, then focal
+    B, S, V = 3, 7, 33
+    mlm_logits = rng.normal(size=(B, S, V)).astype(np.float32)
+    mlm_label = np.full((B, S), -100, dtype=np.int64)
+    pos = rng.uniform(size=(B, S)) < 0.3
+    pos[0, 0] = True  # at least one masked position
+    mlm_label[pos] = rng.integers(0, V, size=int(pos.sum()))
+    flat = torch.tensor(mlm_logits.reshape(-1, V))
+    lbl = torch.tensor(mlm_label.reshape(-1))
+    idx = torch.where(lbl != -100)
+    loss_ref = ref(flat[idx[0], :], lbl[idx])
+    loss = masked_lm_focal_loss(jnp.asarray(mlm_logits),
+                                jnp.asarray(mlm_label), gamma=2.0)
+    assert abs(float(loss) - float(loss_ref)) < 1e-6
+
+
+# ------------------------------------------------------------------ heads
+
+
+def test_ref_nce_head_for_mm(rng):
+    """NCEHeadForMM (ssl_head.py:8-139), ln=True flagship config, both
+    text_agg types used by live configs ('cls' pretrain, 'avg' branch)."""
+    ssl_mod = load_ref("models/heads/ssl_head.py", "mmaction.models.heads.ssl_head")
+    B, C, T, H, W, St, D = 3, 24, 2, 4, 4, 8, 16
+    img = rng.normal(size=(B, C, T, H, W)).astype(np.float32)
+    text = rng.normal(size=(B, St, D)).astype(np.float32)
+    mask = np.ones((B, St), dtype=np.int64)
+    mask[2, 6:] = 0
+    token_ids = rng.integers(0, 120, size=(B, St))
+    token_ids[1, 5] = 102  # a SEP to exclude in 'avg'
+
+    for agg in ("cls", "avg"):
+        torch.manual_seed(7)
+        ref = ssl_mod.NCEHeadForMM(
+            visual_in_channels=C, text_in_channels=D, img_hidden_dim=2 * C,
+            vts_embed_dim=D, ln=True, text_agg_type=agg, dropout_ratio=0)
+        ref.eval()
+        with torch.no_grad():
+            v_ref, t_ref = ref(torch.tensor(img), torch.tensor(text),
+                               torch.tensor(mask), torch.tensor(token_ids))
+        sd = _sd(ref)
+        params = {
+            "img_fc1": _lin(sd, "img_projector.0"),
+            "img_norm1": {"norm": _ln(sd, "img_projector.1")},
+            "img_fc2": _lin(sd, "img_projector.3"),
+            "img_norm2": {"norm": _ln(sd, "img_projector.4")},
+            "text_fc1": _lin(sd, "text_projector.0"),
+            "text_fc2": _lin(sd, "text_projector.2"),
+        }
+        head = NCEHeadForMM(visual_in_channels=C, text_in_channels=D,
+                            img_hidden_dim=2 * C, vts_embed_dim=D,
+                            text_agg_type=agg, dropout_ratio=0.0)
+        v, t = head.apply({"params": params},
+                          jnp.asarray(img.transpose(0, 2, 3, 4, 1)),
+                          jnp.asarray(text), jnp.asarray(mask),
+                          jnp.asarray(token_ids))
+        assert norm_err(np.asarray(v), v_ref.numpy()) < 2e-5, agg
+        assert norm_err(np.asarray(t), t_ref.numpy()) < 2e-5, agg
+
+
+def test_ref_nce_vision_and_text_heads(rng):
+    """NCEHeadForVision (3-D input path, ssl_head.py:142-221) and
+    NCEHeadForText (:224-297)."""
+    ssl_mod = load_ref("models/heads/ssl_head.py", "mmaction.models.heads.ssl_head")
+    B, N, C = 3, 5, 16
+    feat3d = rng.normal(size=(B, N, C)).astype(np.float32)
+
+    torch.manual_seed(9)
+    ref_v = ssl_mod.NCEHeadForVision(visual_in_channels=C, hidden_dim=C,
+                                     vts_embed_dim=C, ln=True, dropout_ratio=0)
+    ref_v.eval()
+    with torch.no_grad():
+        v_ref = ref_v(torch.tensor(feat3d)).numpy()
+    sd = _sd(ref_v)
+    params = {
+        "fc1": _lin(sd, "img_fc1"), "norm1": {"norm": _ln(sd, "img_bn1")},
+        "fc2": _lin(sd, "img_fc2"), "norm2": {"norm": _ln(sd, "img_bn2")},
+    }
+    head = NCEHeadForVision(visual_in_channels=C, hidden_dim=C,
+                            vts_embed_dim=C, dropout_ratio=0.0)
+    v = head.apply({"params": params}, jnp.asarray(feat3d))
+    assert norm_err(np.asarray(v), v_ref) < 2e-5
+
+    feat2d = rng.normal(size=(B, C)).astype(np.float32)
+    torch.manual_seed(10)
+    ref_t = ssl_mod.NCEHeadForText(cross_in_channels=C, vts_embed_dim=C,
+                                   dropout_ratio=0.1)
+    ref_t.eval()
+    with torch.no_grad():
+        t_ref = ref_t(torch.tensor(feat2d)).numpy()
+    sd = _sd(ref_t)
+    params = {"fc1": _lin(sd, "fc1"), "fc2": _lin(sd, "fc2")}
+    head = NCEHeadForText(cross_in_channels=C, vts_embed_dim=C)
+    t = head.apply({"params": params}, jnp.asarray(feat2d))
+    assert norm_err(np.asarray(t), t_ref) < 2e-5
+
+
+def test_ref_mlm_and_itm_heads(rng):
+    """MLMHead (mlm_itm_head.py:44-52, HF cls.predictions internals) and
+    ITMHead (:55-97)."""
+    mlm_mod = load_ref("models/heads/mlm_itm_head.py",
+                       "mmaction.models.heads.mlm_itm_head")
+    _, factories = local_bert_factories(hidden_size=CT_HID, num_layers=1,
+                                        heads=CT_HEADS, vocab_size=CT_VOCAB,
+                                        seed=17)
+    mlm_mod.BertForMaskedLM = factories["BertForMaskedLM"]
+    ref = mlm_mod.MLMHead(hidden_size=CT_HID, vocab_size=CT_VOCAB)
+    ref.eval()
+    B, S = 2, 6
+    x = rng.normal(size=(B, S, CT_HID)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x)).numpy()
+    params = convert_mlm_head(_sd(ref), "predictions")
+    cfg = BertConfig(vocab_size=CT_VOCAB, hidden_size=CT_HID,
+                     num_attention_heads=CT_HEADS, intermediate_size=CT_HID * 4)
+    out = MLMHead(cfg).apply({"params": params}, jnp.asarray(x))
+    assert norm_err(np.asarray(out), out_ref) < 2e-5
+
+    torch.manual_seed(21)
+    ref_itm = mlm_mod.ITMHead(hidden_dim=CT_HID)
+    ref_itm.eval()
+    cls_feat = rng.normal(size=(B, CT_HID)).astype(np.float32)
+    with torch.no_grad():
+        itm_ref = ref_itm(torch.tensor(cls_feat)).numpy()
+    sd = _sd(ref_itm)
+    params = {"fc1": _lin(sd, "itm_projector.1"), "fc2": _lin(sd, "itm_projector.3")}
+    itm = ITMHead(hidden_dim=CT_HID).apply({"params": params},
+                                           jnp.asarray(cls_feat))
+    assert norm_err(np.asarray(itm), itm_ref) < 2e-5
+
+
+def test_ref_qa_heads(rng):
+    """QA_MC_head (qa_head.py:7-39) and QA_OE_Head (:42-87)."""
+    qa_mod = load_ref("models/heads/qa_head.py", "mmaction.models.heads.qa_head")
+    B, D, L = 4, 32, 17
+    x = rng.normal(size=(B, D)).astype(np.float32)
+
+    torch.manual_seed(23)
+    ref_mc = qa_mod.QA_MC_head(hidden_dim=D, dropout_ratio=0.1)
+    ref_mc.eval()
+    with torch.no_grad():
+        mc_ref = ref_mc(torch.tensor(x)).numpy()
+    sd = _sd(ref_mc)
+    params = {"fc1": _lin(sd, "mc_vqa_classifier.1"),
+              "norm": _ln(sd, "mc_vqa_classifier.2"),
+              "fc2": _lin(sd, "mc_vqa_classifier.4")}
+    mc = QAMCHead(hidden_dim=D).apply({"params": params}, jnp.asarray(x))
+    assert norm_err(np.asarray(mc), mc_ref) < 2e-5
+
+    torch.manual_seed(25)
+    ref_oe = qa_mod.QA_OE_Head(hidden_dim=D, num_labels=L, dropout_ratio=0.5)
+    ref_oe.eval()
+    with torch.no_grad():
+        oe_ref = ref_oe(torch.tensor(x)).numpy()
+    sd = _sd(ref_oe)
+    params = {"fc1": _lin(sd, "vqa_classifier.1"),
+              "norm": _ln(sd, "vqa_classifier.2"),
+              "fc2": _lin(sd, "vqa_classifier.4")}
+    oe = QAOEHead(hidden_dim=D, num_labels=L).apply({"params": params},
+                                                    jnp.asarray(x))
+    assert norm_err(np.asarray(oe), oe_ref) < 2e-5
+
+
+# ------------------------------------------- full pretrain step (flagship)
+
+
+def _strip(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+@pytest.mark.slow
+def test_ref_clover_pretrain_full_step(rng, world1):
+    """The reference's OWN CloverPretrain.forward_train
+    (multimodal_transformer_pretrain.py:77-173) — 2 Swin passes, 2 BERT
+    passes, 2 fusion passes, MLM focal + tri-modal exclusive-NCE + both
+    ranking terms — vs clover_tpu's CloverPretrain + pretrain_losses, on
+    shared converted weights at tiny shapes. Every loss term AND the
+    d(total)/d(imgs) gradient through the whole graph must match."""
+    from clover_tpu.losses.objectives import PretrainLossConfig, pretrain_losses
+    from clover_tpu.models.pretrain import CloverPretrain, PretrainConfig
+
+    # --- load + patch reference modules -------------------------------
+    swin_mod = load_ref("models/backbones/swin_transformer_3d.py",
+                        "mmaction.models.backbones.swin_transformer_3d")
+    ct_mod = load_ref("models/backbones/cross_transformer.py",
+                      "mmaction.models.backbones.cross_transformer")
+    bert_mod = load_ref("models/backbones/bert_from_hugface.py",
+                        "mmaction.models.backbones.bert_from_hugface")
+    load_ref("models/heads/ssl_head.py", "mmaction.models.heads.ssl_head")
+    mlm_mod = load_ref("models/heads/mlm_itm_head.py",
+                       "mmaction.models.heads.mlm_itm_head")
+    load_ref("models/losses/base.py", "mmaction.models.losses.base")
+    load_ref("models/losses/cross_entropy_loss.py",
+             "mmaction.models.losses.cross_entropy_loss")
+    load_ref("models/losses/focal_loss.py", "mmaction.models.losses.focal_loss")
+    load_ref("models/losses/contrastive_loss.py",
+             "mmaction.models.losses.contrastive_loss")
+    load_ref("models/recognizers/base.py", "mmaction.models.recognizers.base")
+    pre_mod = load_ref(
+        "models/recognizers/multimodal_transformer_pretrain.py",
+        "mmaction.models.recognizers.multimodal_transformer_pretrain")
+
+    HID, VOCAB, LAYERS_T, LAYERS_F, HEADS = 64, 128, 2, 2, 4
+    cfg_cls, factories = local_bert_factories(
+        hidden_size=HID, num_layers=LAYERS_T, heads=HEADS, vocab_size=VOCAB,
+        seed=31)
+    ct_mod.BertConfig = cfg_cls
+    ct_mod.BertForPreTraining = factories["BertForPreTraining"]
+    bert_mod.BertConfig = cfg_cls
+    bert_mod.BertModel = factories["BertModel"]
+    mlm_mod.BertForMaskedLM = factories["BertForMaskedLM"]
+
+    depths, vis_dim = [2, 2], 32  # swin num_features = 16 * 2
+    torch.manual_seed(41)
+    ref = pre_mod.CloverPretrain(
+        backbone=dict(type="SwinTransformer3D", pretrained=None,
+                      pretrained2d=False, embed_dim=16, depths=depths,
+                      num_heads=[2, 4], window_size=(2, 4, 4),
+                      patch_size=(2, 4, 4), stride=(2, 4, 4),
+                      drop_path_rate=0.0, mask_token=True),
+        mm_backbone=dict(type="CrossModalTransformerFromPretrained",
+                         use_text_cls=True, use_prompt=False,
+                         num_hidden_layers=LAYERS_F, img_in_size=vis_dim,
+                         hidden_size=HID, num_frames=2, spacial_tokens=16,
+                         token_types=2, word_pos_start=False),
+        text_backbone=dict(type="BertFromPretrained",
+                           num_hidden_layers=LAYERS_T),
+        text_vocab_size=VOCAB,
+        use_Cmask=True,
+        symmetry_rank=True,
+        ssl_head=dict(type="NCEHeadForMM", visual_in_channels=vis_dim,
+                      text_in_channels=HID, img_hidden_dim=HID * 2,
+                      vts_embed_dim=HID, ln=True, spatial_type="avg",
+                      text_agg_type="cls", dropout_ratio=0),
+        mlm_head=dict(type="MLMHead", hidden_size=HID, vocab_size=VOCAB),
+        mlm_ssl_head=dict(
+            V=dict(type="NCEHeadForVision", visual_in_channels=HID,
+                   cross_in_channels=HID, hidden_dim=HID, ln=True,
+                   vts_embed_dim=HID, dropout_ratio=0),
+            T=dict(type="NCEHeadForText", cross_in_channels=HID,
+                   vts_embed_dim=HID, text_bn=False, dropout_ratio=0.1),
+        ),
+        mlm_loss=dict(type="SoftmaxFocalLossMultiClass", gamma=2.0),
+        loss_type=dict(type="CrossEntropyLoss"),
+        ssl_loss=dict(type="ExclusiveNCEwithRankingLoss", temperature=0.05,
+                      use_rank=True, use_rank_ttm=True, use_rank_trtm=False,
+                      margin_ttm=5.0, margin_trtm=10.0),
+        train_cfg=dict(aux_info=["token_ids", "segment_ids", "input_mask",
+                                 "mlm_label", "v_token_mask"]),
+    )
+    ref.eval()
+
+    # The reference as written crashes here: NCEHeadForVision
+    # unconditionally means over dim 1 (ssl_head.py:211) but forward_train
+    # feeds it the 2-D CLS feature (multimodal_transformer_pretrain.py:
+    # 148-149) -> Linear gets a (B,) tensor. clover_tpu implements the
+    # evident intent (mean only for 3-D inputs; documented divergence,
+    # models/heads.py:12-17). Patch the same intent onto the reference
+    # head so its step can run at all; everything downstream is untouched.
+    import types
+
+    def _vision_fwd_2d(self, img):
+        if img.dim() == 3:
+            img = img.mean(dim=1)
+        if self.dropout is not None:
+            img = self.dropout(img)
+        img = self.img_fc1(img)
+        img = self.img_bn1(img)
+        img = self.img_act(img)
+        img = self.img_fc2(img)
+        return self.img_bn2(img)
+
+    ref.mlm_ssl_V_head.forward = types.MethodType(_vision_fwd_2d,
+                                                  ref.mlm_ssl_V_head)
+
+    # --- shared inputs (reference layout: leading clips/candidates dim) ---
+    B, T, HW, St = 3, 4, 32, 9
+    imgs = rng.normal(size=(B, 1, 3, T, HW, HW)).astype(np.float32)
+    token_ids = rng.integers(4, VOCAB, size=(B, 1, St))
+    input_mask = np.ones((B, 1, St), dtype=np.int64)
+    input_mask[1, 0, 7:] = 0
+    mlm_label = np.full((B, 1, St), -100, dtype=np.int64)
+    masked_pos = rng.uniform(size=(B, 1, St)) < 0.3
+    masked_pos[:, :, 0] = False
+    masked_pos[0, 0, 1] = True  # at least one masked token
+    mlm_label[masked_pos] = token_ids[masked_pos]
+    token_ids_masked = np.where(masked_pos, 3, token_ids)  # 3 = [MASK] here
+    v_token_mask = (rng.uniform(size=(B, 1, 4, 4)) > 0.5).astype(np.int64)
+
+    imgs_t = torch.tensor(imgs, requires_grad=True)
+    losses_ref = ref.forward_train(
+        imgs_t, label=None, token_ids=torch.tensor(token_ids_masked),
+        input_mask=torch.tensor(input_mask),
+        mlm_label=torch.tensor(mlm_label),
+        v_token_mask=torch.tensor(v_token_mask))
+    total_ref = sum(losses_ref.values())
+    total_ref.backward()
+    g_imgs_ref = imgs_t.grad.numpy()
+
+    # --- clover_tpu side on converted weights --------------------------
+    sd = _sd(ref)
+    fusion_sd = _strip(sd, "multimodal_backbone.")
+    params = {
+        "backbone": convert_swin3d(sd, depths, prefix="backbone."),
+        "text_backbone": convert_hf_bert(sd, LAYERS_T,
+                                         prefix="text_backbone.bert"),
+        "multimodal_backbone": {
+            "embeddings": convert_bert_embeddings(fusion_sd, "bert_embedding"),
+            "encoder": convert_bert_encoder(fusion_sd, "bert_encoder", LAYERS_F),
+            "token_type_embeddings": {
+                "embedding": fusion_sd["token_type_embeddings.weight"]},
+            "vis_space_pos": fusion_sd["vis_space_pos"],
+            "vis_tempor_pos": fusion_sd["vis_tempor_pos"],
+            "visual_norm": _ln(fusion_sd, "norm"),
+            "fc_in": _lin(fusion_sd, "fc_in"),
+        },
+        "ssl_head": {
+            "img_fc1": _lin(sd, "ssl_head.img_projector.0"),
+            "img_norm1": {"norm": _ln(sd, "ssl_head.img_projector.1")},
+            "img_fc2": _lin(sd, "ssl_head.img_projector.3"),
+            "img_norm2": {"norm": _ln(sd, "ssl_head.img_projector.4")},
+            "text_fc1": _lin(sd, "ssl_head.text_projector.0"),
+            "text_fc2": _lin(sd, "ssl_head.text_projector.2"),
+        },
+        "mlm_head": convert_mlm_head(sd, "mlm_head.predictions"),
+        "mlm_ssl_V_head": {
+            "fc1": _lin(sd, "mlm_ssl_V_head.img_fc1"),
+            "norm1": {"norm": _ln(sd, "mlm_ssl_V_head.img_bn1")},
+            "fc2": _lin(sd, "mlm_ssl_V_head.img_fc2"),
+            "norm2": {"norm": _ln(sd, "mlm_ssl_V_head.img_bn2")},
+        },
+        "mlm_ssl_T_head": {
+            "fc1": _lin(sd, "mlm_ssl_T_head.fc1"),
+            "fc2": _lin(sd, "mlm_ssl_T_head.fc2"),
+        },
+    }
+
+    bert_cfg = BertConfig(vocab_size=VOCAB, hidden_size=HID,
+                          num_hidden_layers=LAYERS_T, num_attention_heads=HEADS,
+                          intermediate_size=HID * 4, hidden_dropout=0.0,
+                          attention_dropout=0.0)
+    fusion_bert_cfg = BertConfig(vocab_size=VOCAB, hidden_size=HID,
+                                 num_hidden_layers=LAYERS_F,
+                                 num_attention_heads=HEADS,
+                                 intermediate_size=HID * 4, hidden_dropout=0.0,
+                                 attention_dropout=0.0)
+    model = CloverPretrain(PretrainConfig(
+        swin=SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                        window_size=(2, 4, 4), drop_path_rate=0.0,
+                        mask_token=True, gelu="erf"),
+        text_bert=bert_cfg,
+        fusion=FusionConfig(bert=fusion_bert_cfg, img_in_size=vis_dim,
+                            hidden_size=HID, num_frames=2, spatial_tokens=16,
+                            use_text_cls=True),
+        vts_embed_dim=HID, text_agg_type="cls", use_mlm=True, use_cmask=True,
+        symmetry_rank=True,
+    ), dtype=jnp.float32)
+    loss_cfg = PretrainLossConfig(nce_temperature=0.05, use_rank=True,
+                                  use_rank_ttm=True, margin_ttm=5.0,
+                                  mlm_focal_gamma=2.0, symmetry_rank=True)
+
+    def losses_fn(imgs_j):
+        batch = {
+            "imgs": imgs_j.transpose(0, 1, 3, 4, 5, 2),  # -> channels-last
+            "token_ids": jnp.asarray(token_ids_masked),
+            "input_mask": jnp.asarray(input_mask),
+            "mlm_label": jnp.asarray(mlm_label),
+            "v_token_mask": jnp.asarray(v_token_mask[:, 0]),
+        }
+        outputs = model.apply({"params": params}, batch, train=False)
+        losses = pretrain_losses(outputs, batch["mlm_label"], loss_cfg)
+        return sum(jnp.asarray(v) for v in losses.values()), losses
+
+    imgs_j = jnp.asarray(imgs)
+    (total, losses), g_imgs = jax.value_and_grad(losses_fn, has_aux=True)(imgs_j)
+
+    ref_keys = sorted(str(k) for k in losses_ref)
+    assert sorted(losses) == ref_keys, (sorted(losses), ref_keys)
+    for key, val in losses_ref.items():
+        assert abs(float(losses[key]) - float(val)) < 5e-5, (
+            key, float(losses[key]), float(val))
+    # losses_fn transposes internally, so g_imgs is already in the
+    # reference's (B, clips, C, T, H, W) layout
+    assert norm_err(np.asarray(g_imgs), g_imgs_ref) < 5e-4
