@@ -486,10 +486,32 @@ class _BenchEvalDataset:
             self.backend = get_backend("rawframes", start_index=0,
                                        target_short_side=S)
             self.paths = [os.path.join(root, f"vid_{i:05d}") for i in range(n)]
+        elif backend_name == "packed":
+            # decode-free clip cache: eval-ready S x S frames, fetch is a
+            # memcpy (data/clip_cache.py). Pack built once by write_pack.
+            self.backend = get_backend("packed", path=root)
+            self.paths = [f"bench_video_{i}.mp4" for i in range(n)]
         else:
             self.backend = get_backend("synthetic", height=240, width=320,
                                        length=64)
             self.paths = [f"bench_video_{i}.mp4" for i in range(n)]
+
+    @staticmethod
+    def write_pack(stem: str, n: int, T: int, S: int):
+        """Materialize the packed clip cache (once): synthetic decode +
+        eval resize paid at build time, exactly what
+        tools/build_clip_cache.py does for real corpora."""
+        from clover_tpu.data.clip_cache import ClipCache, build_clip_cache
+        from clover_tpu.data.decode import SyntheticVideoBackend
+
+        if os.path.exists(stem + ".json") and os.path.exists(stem + ".bin"):
+            cache = ClipCache(stem)
+            if len(cache) >= n and cache.frames == T and cache.height == S:
+                return
+        build_clip_cache(stem, [f"bench_video_{i}.mp4" for i in range(n)],
+                         SyntheticVideoBackend(height=240, width=320,
+                                               length=64),
+                         num_frames=T, size=S)
 
     @staticmethod
     def write_rawframes(root: str, n: int, T: int):
@@ -516,13 +538,15 @@ class _BenchEvalDataset:
         import cv2
 
         frames = self.backend.decode(self.paths[i], list(range(self.T)))
-        # canonical short-side resize + center crop (eval contract)
-        h, w = frames.shape[1:3]
-        scale = self.S / min(h, w)
-        nh, nw = round(h * scale), round(w * scale)
-        frames = np.stack([cv2.resize(f, (nw, nh)) for f in frames])
-        y0, x0 = (nh - self.S) // 2, (nw - self.S) // 2
-        frames = frames[:, y0:y0 + self.S, x0:x0 + self.S]
+        if frames.shape[1] != self.S or frames.shape[2] != self.S:
+            # canonical short-side resize + center crop (eval contract);
+            # packed clips come back already S x S — pure memcpy path
+            h, w = frames.shape[1:3]
+            scale = self.S / min(h, w)
+            nh, nw = round(h * scale), round(w * scale)
+            frames = np.stack([cv2.resize(f, (nw, nh)) for f in frames])
+            y0, x0 = (nh - self.S) // 2, (nw - self.S) // 2
+            frames = frames[:, y0:y0 + self.S, x0:x0 + self.S]
         rng = np.random.default_rng(i)
         return {
             "imgs": frames,
@@ -570,6 +594,11 @@ def bench_loader_eval():
                               os.path.join(tempfile.gettempdir(),
                                            f"bench_rawframes_T{T}"))
         _BenchEvalDataset.write_rawframes(root, N_BATCHES * B, T)
+    elif BACKEND == "packed":
+        root = os.environ.get("BENCH_LOADER_ROOT",
+                              os.path.join(tempfile.gettempdir(),
+                                           f"bench_pack_T{T}_S224"))
+        _BenchEvalDataset.write_pack(root, N_BATCHES * B, T, S)
     ds = _BenchEvalDataset(N_BATCHES * B, T, S, L, BACKEND, root)
 
     cfg = FinetuneConfig(

@@ -240,12 +240,17 @@ class SyntheticVideoBackend:
 
 
 def get_backend(name: str, **kwargs):
+    from clover_tpu.data.clip_cache import PackedClipBackend
+
     backends = {
         "opencv": OpenCVVideoBackend,
         "ffmpeg": FFmpegVideoBackend,
         "image": ImageFileBackend,
         "rawframes": RawFrameBackend,
         "synthetic": SyntheticVideoBackend,
+        # decode-free memory-mapped clip pack (data/clip_cache.py) — the
+        # hot path for production hosts; per-clip cost is a memcpy
+        "packed": PackedClipBackend,
     }
     if name not in backends:
         raise ValueError(f"unknown decode backend {name!r}; have {sorted(backends)}")

@@ -36,6 +36,8 @@ def canonical_host_resize(frames: np.ndarray, canonical: int) -> np.ndarray:
     canonical); uint8 in/out. Host-side (cv2), amortized per decode."""
     import cv2
 
+    if frames.shape[1] == canonical and frames.shape[2] == canonical:
+        return frames  # already canonical (packed clip cache) — no-op
     out = np.empty((frames.shape[0], canonical, canonical, 3), dtype=np.uint8)
     for i, frame in enumerate(frames):
         h, w = frame.shape[:2]
