@@ -244,7 +244,14 @@ def _xla_backward_postln(x, scale, bias, w1, b1, w2, b2, eps, g):
     cotangent straight into the w2-transpose dots — f32-operand GEMMs at
     the BERT/fusion-tower shapes; same fix as ``_xla_backward`` for the
     pre-LN Swin half). gelu' uses the A&S rational erf (|err|<=1.5e-7).
-    Parity-tested against the f32-cotangent vjp."""
+    Parity-tested against the f32-cotangent vjp.
+
+    Note on CLOVER_MLP_BWD_HBM=bf16: unlike the pre-LN backward (whose LN
+    stats come from x before any rounded intermediate), here the knob's
+    bf16 round-trip of zpre perturbs h, y, z and hence the RECOMPUTED
+    LayerNorm statistics — with the knob on, ALL grads (including
+    dscale/dbias/dx) carry the rounding (measured ~0.2-0.6% normalized,
+    still bf16-order; pinned by the knob-on parity test)."""
     dt = x.dtype
     f32 = jnp.float32
     w1_bf, w2_bf = w1.astype(dt), w2.astype(dt)

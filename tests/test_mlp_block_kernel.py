@@ -242,30 +242,102 @@ def test_explicit_backward_matches_f32_vjp(mode, with_rs):
                                    err_msg=n)
 
 
-def test_explicit_postln_backward_matches_f32_vjp():
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_explicit_postln_backward_matches_f32_vjp(dtype):
     """The post-LN (BERT/fusion) explicit bf16-operand backward must match
     the f32-cotangent vjp to bf16-rounding tolerance (same contract as the
-    pre-LN _xla_backward test above)."""
+    pre-LN _xla_backward test above). bf16 inputs exercise the astype(dt)
+    casts this backward exists for (f32 makes them no-ops); tolerance is
+    per-dtype (bf16 measures ~0.6% normalized — rounding, not math)."""
     rng = np.random.default_rng(11)
     rows, C, H = 48, 64, 256
-    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
     scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
     bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
     w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
     b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
     w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
     b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
-    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
 
     got = MB._xla_backward_postln(x, scale, bias, w1, b1, w2, b2, 1e-12, g)
     _, vjp = jax.vjp(lambda *a: MB._xla_reference_postln(*a, 1e-12),
                      x, scale, bias, w1, b1, w2, b2)
     ref = vjp(g)
     names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2"]
+    atol = 4e-3 if dtype == jnp.float32 else 1.2e-2
     for n, a, b in zip(names, got, ref):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         den = max(1.0, float(np.max(np.abs(b))))
-        np.testing.assert_allclose(a / den, b / den, rtol=0, atol=4e-3,
+        np.testing.assert_allclose(a / den, b / den, rtol=0, atol=atol,
+                                   err_msg=n)
+
+
+def test_postln_explicit_backward_is_default_vjp():
+    """fused_mlp_postln's grad path goes through _xla_backward_postln by
+    default: no f32-operand dots in the lowered grad HLO (postln analog of
+    test_explicit_backward_is_default_vjp)."""
+    rng = np.random.default_rng(13)
+    rows, C, H = 32, 64, 128
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(jnp.bfloat16))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.zeros(C, np.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.zeros(H, np.float32)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.zeros(C, np.float32)
+
+    def loss(w1_, w2_):
+        return jnp.sum(MB.fused_mlp_postln(
+            x, scale, bias, w1_, b1, w2_, b2).astype(jnp.float32))
+
+    txt = jax.jit(jax.grad(loss, argnums=(0, 1))).lower(w1, w2).as_text()
+    import re
+    dots = re.findall(r"stablehlo\.dot_general[^\n]*: \(([^)]*)\)", txt)
+    assert dots, "no dot_general found in lowered grad HLO"
+    for operands in dots:
+        lhs, rhs = operands.split(",")[0], operands.split(",")[1]
+        assert "tensor<f32" not in lhs and "tensor<f32" not in rhs, (
+            f"f32-operand dot in lowered grad HLO: ({operands})")
+
+
+@pytest.mark.parametrize("postln", [False, True])
+def test_bwd_hbm_bf16_knob_parity(postln, monkeypatch):
+    """CLOVER_MLP_BWD_HBM=bf16 (env-read at import; CI never exercises the
+    True branch without this) must stay within bf16-rounding tolerance of
+    the f32-cotangent vjp on bf16 inputs — including the post-LN case where
+    the rounded zpre shifts the recomputed LN statistics (so dscale/dbias/dx
+    also carry the rounding; see _xla_backward_postln docstring)."""
+    monkeypatch.setattr(MB, "_BWD_HBM_BF16", True)
+    rng = np.random.default_rng(17)
+    rows, C, H = 40, 64, 256
+    dt = jnp.bfloat16
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dt)
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dt)
+
+    if postln:
+        got = MB._xla_backward_postln(x, scale, bias, w1, b1, w2, b2,
+                                      1e-12, g)
+        _, vjp = jax.vjp(lambda *a: MB._xla_reference_postln(*a, 1e-12),
+                         x, scale, bias, w1, b1, w2, b2)
+        ref = vjp(g)
+    else:
+        got = MB._xla_backward(x, scale, bias, w1, b1, w2, b2, None, 1e-5,
+                               "erf", g)[:7]
+        _, vjp = jax.vjp(lambda *a: MB._xla_reference(*a, None, 1e-5, "erf"),
+                         x, scale, bias, w1, b1, w2, b2)
+        ref = vjp(g)
+    names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2"]
+    for n, a, b in zip(names, got, ref):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        den = max(1.0, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a / den, b / den, rtol=0, atol=1.5e-2,
                                    err_msg=n)
 
 
