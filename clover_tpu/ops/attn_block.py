@@ -490,6 +490,24 @@ def _forward(x, ln_scale, ln_bias, wqkv, bqkv, bias, mask, wproj, bproj,
              row_scale, scale, eps, no_max=False):
     Bn, N, C = x.shape
     nH = bias.shape[0]
+    if no_max:
+        from clover_tpu.ops.window_attention import (debug_logit_check,
+                                                     logit_debug_enabled)
+
+        if logit_debug_enabled():
+            # the kernel never materializes qkv in XLA — recompute LN +
+            # the qkv GEMM here (debug-only cost) for the bound check
+            f32 = jnp.float32
+            x32 = x.astype(f32)
+            mu = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+            xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * ln_scale
+                  + ln_bias).astype(x.dtype)
+            qkv_dbg = (jnp.dot(xn.reshape(-1, C), wqkv.astype(x.dtype),
+                               preferred_element_type=f32)
+                       + bqkv).astype(x.dtype).reshape(Bn, N, 3 * C)
+            debug_logit_check(qkv_dbg, bias, mask, scale, nH,
+                              tag=f"fused_block:nH{nH},N{N}")
     use_pallas = _is_tpu() or _FORCE_PALLAS
     nW = None if mask is None else mask.shape[0]
     lanes = _is_lanes(mask)

@@ -546,6 +546,75 @@ def no_max_enabled(deterministic: bool):
         return False
     return True
 
+
+# ---- CLOVER_WA_DEBUG=1: logit-bound diagnostic for the static-shift ----
+# softmax modes. Clamp-mode training passes distort SILENTLY once any
+# logit drifts past static_shift + CLAMP_HALF_WIDTH (the forward clamps,
+# the bwd recomputes the same clamped softmax — no NaN, no signal); the
+# bare-shift eval mode relies on the bounded-logit contract outright.
+# With the flag on, every instrumented attention entry recomputes
+# max(logits) - static_shift in XLA (an extra QK^T — debug-only cost) and
+# reports it host-side via jax.debug.callback: LOGIT_DEBUG_WORST keeps
+# the worst value per (path, nH, N) tag for trainers/tests to read, and a
+# warning fires the moment the safe half-width is exceeded. Instrumented
+# paths: flat / flat2 kernels (eval + their train fallbacks) and the
+# fused attn-block half (the training hot path, ops/attn_block.py).
+_WA_DEBUG = _os.environ.get("CLOVER_WA_DEBUG", "0") == "1"
+CLAMP_HALF_WIDTH = 80.0
+LOGIT_DEBUG_WORST: dict = {}
+
+
+def logit_debug_enabled() -> bool:
+    return _WA_DEBUG
+
+
+def reset_logit_debug() -> None:
+    LOGIT_DEBUG_WORST.clear()
+
+
+def _logit_debug_record(tag, max_arg) -> None:
+    """Host-side sink for the debug callback (tag -> worst shifted arg)."""
+    m = float(max_arg)
+    worst = LOGIT_DEBUG_WORST.get(tag)
+    if worst is None or m > worst:
+        LOGIT_DEBUG_WORST[tag] = m
+    if m > CLAMP_HALF_WIDTH:
+        import warnings
+
+        warnings.warn(
+            f"static-shift softmax out of bounds at {tag}: max shifted "
+            f"logit {m:.1f} > {CLAMP_HALF_WIDTH:.0f}. Clamp-mode passes "
+            f"are now DISTORTING attention (bare-shift eval passes may "
+            f"overflow); the model has likely diverged.", RuntimeWarning,
+            stacklevel=2)
+
+
+def debug_logit_check(qkv, bias, mask, scale, num_heads, tag: str) -> None:
+    """Recompute max(q·kᵀ·scale + bias (+mask)) - static_shift in XLA and
+    report it host-side. qkv is the flat (Bn, N, 3C) packed projection;
+    mask may be additive (nW, N, N) or region-lanes (nW, N, nr). The
+    shifted arg is computed in the ADDITIVE frame with shift 30 — the
+    lanes kernels' +100·δ logits with shift 130 produce identical shifted
+    args, so one frame covers both. No-op unless CLOVER_WA_DEBUG=1."""
+    if not _WA_DEBUG:
+        return
+    Bn, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // num_heads
+    f32 = jnp.float32
+    q = qkv[:, :, :C].reshape(Bn, N, num_heads, hd).astype(f32)
+    k = qkv[:, :, C:2 * C].reshape(Bn, N, num_heads, hd).astype(f32)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q * f32(scale), k)
+    logits = logits + bias[None].astype(f32)
+    if mask is not None:
+        add = lanes_to_additive(mask.astype(f32)) if _is_lanes(mask) \
+            else mask.astype(f32)
+        nW = add.shape[0]
+        logits = (logits.reshape(Bn // nW, nW, num_heads, N, N)
+                  + add[None, :, None]).reshape(Bn, num_heads, N, N)
+    max_arg = jnp.max(logits) - f32(30.0)
+    jax.debug.callback(_logit_debug_record, tag, max_arg)
+
 # Region-lanes shift mask: mask = -100*(1 - delta_same_region) and
 # delta = R·Rᵀ for a per-window region one-hot R (<= 8 columns). Appending
 # the 0/10-valued R columns to the q and k head slices inside the hd -> 128
@@ -991,6 +1060,9 @@ def _forward_flat_grouped(qkv, bias, mask, scale, num_heads, no_max=False):
 def _forward_flat(qkv, bias, mask, scale, num_heads, no_max=False):
     """qkv (Bn, N, 3C) -> (Bn, N, C); bias (nH, N, N); mask (nW, N, N)|None.
     bias/mask are cast to qkv.dtype for the VMEM-resident blocks."""
+    if no_max and _WA_DEBUG:
+        debug_logit_check(qkv, bias, mask, scale, num_heads,
+                          tag=f"flat:nH{num_heads},N{qkv.shape[1]}")
     Bn, N, threeC = qkv.shape
     C = threeC // 3
     hd = C // num_heads
@@ -1199,6 +1271,10 @@ def _flat2_feasible(nH: int, N: int, hd: int, itemsize: int,
 def _forward_flat2(qkv2, bias, mask, scale, num_heads, N, no_max=False):
     """qkv2 (Bn*N, 3C) -> (Bn*N, C) or None if infeasible.
     bias (nH, N, N); mask (nW, N, N) additive or (nW, N, nr) lanes."""
+    if no_max and _WA_DEBUG:
+        debug_logit_check(qkv2.reshape(-1, N, qkv2.shape[-1]), bias, mask,
+                          scale, num_heads,
+                          tag=f"flat2:nH{num_heads},N{N}")
     M, threeC = qkv2.shape
     C = threeC // 3
     hd = C // num_heads

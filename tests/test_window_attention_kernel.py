@@ -752,3 +752,109 @@ def test_flat2_grouped_bwd_matches_3d(rng):
             rtol=3e-5, atol=3e-5)
         np.testing.assert_allclose(np.asarray(db1), np.asarray(dbr),
                                    rtol=3e-5, atol=3e-5)
+
+
+class TestLogitDebugDiagnostic:
+    """CLOVER_WA_DEBUG=1 logit-bound diagnostic: the clamp-mode softmax
+    distorts silently past static_shift + 80 (window_attention._NO_MAX
+    contract); the debug flag must surface max shifted logit per path tag
+    and warn the moment the half-width is exceeded."""
+
+    def _mk(self, rng, Bn=4, nH=2, N=12, hd=16, qscale=1.0):
+        C = nH * hd
+        qkv = rng.normal(size=(Bn, N, 3 * C)).astype(np.float32)
+        qkv[:, :, :C] *= qscale
+        bias = rng.normal(size=(nH, N, N)).astype(np.float32)
+        return jnp.asarray(qkv), jnp.asarray(bias)
+
+    def test_bounded_records_no_warning(self, rng, monkeypatch):
+        import warnings
+
+        import clover_tpu.ops.window_attention as wa
+
+        monkeypatch.setattr(wa, "_WA_DEBUG", True)
+        wa.reset_logit_debug()
+        qkv, bias = self._mk(rng)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")   # any warning -> failure
+            out = wa.flat_window_attention(qkv, bias, None, 0.25, 2,
+                                           no_max="clamp")
+            np.asarray(out)
+            jax.effects_barrier()
+        tag = "flat:nH2,N12"
+        assert tag in wa.LOGIT_DEBUG_WORST
+        # value == max(q.kT.scale + bias) - 30, computed independently
+        q = np.asarray(qkv[:, :, :32]).reshape(4, 12, 2, 16)
+        k = np.asarray(qkv[:, :, 32:64]).reshape(4, 12, 2, 16)
+        logits = np.einsum("bnhd,bmhd->bhnm", q * 0.25, k) + np.asarray(bias)
+        assert wa.LOGIT_DEBUG_WORST[tag] == pytest.approx(
+            logits.max() - 30.0, abs=1e-3)
+        assert wa.LOGIT_DEBUG_WORST[tag] < wa.CLAMP_HALF_WIDTH
+
+    def test_diverged_logits_warn(self, rng, monkeypatch):
+        import clover_tpu.ops.window_attention as wa
+
+        monkeypatch.setattr(wa, "_WA_DEBUG", True)
+        wa.reset_logit_debug()
+        qkv, bias = self._mk(rng, qscale=200.0)   # drives logits past +110
+        with pytest.warns(RuntimeWarning, match="DISTORTING"):
+            out = wa.flat_window_attention(qkv, bias, None, 0.25, 2,
+                                           no_max="clamp")
+            np.asarray(out)
+            jax.effects_barrier()
+        assert wa.LOGIT_DEBUG_WORST["flat:nH2,N12"] > wa.CLAMP_HALF_WIDTH
+
+    def test_lanes_and_additive_frames_agree(self, rng, monkeypatch):
+        """The lanes kernels run logits+100·δ with shift 130; the check
+        uses the additive frame with shift 30 — the recorded shifted arg
+        must be identical for both mask forms."""
+        import clover_tpu.ops.window_attention as wa
+
+        monkeypatch.setattr(wa, "_WA_DEBUG", True)
+        wa.reset_logit_debug()
+        qkv, bias = self._mk(rng)
+        nW, N = 4, 12
+        onehot = (rng.random((nW, N, 2)) < 0.5).astype(np.float32)
+        onehot[..., 1] = 1.0 - onehot[..., 0]
+        lanes = jnp.asarray(10.0 * onehot)
+        additive = wa.lanes_to_additive(lanes)
+        wa.debug_logit_check(qkv, bias, lanes, 0.25, 2, tag="lanes")
+        wa.debug_logit_check(qkv, bias, additive, 0.25, 2, tag="additive")
+        jax.effects_barrier()
+        assert wa.LOGIT_DEBUG_WORST["lanes"] == pytest.approx(
+            wa.LOGIT_DEBUG_WORST["additive"], abs=1e-3)
+
+    def test_fused_block_path_instrumented(self, rng, monkeypatch):
+        """The training hot path (attn_block fused half) must emit the
+        diagnostic too — it recomputes LN+qkv in XLA under the flag."""
+        import clover_tpu.ops.attn_block as ab
+        import clover_tpu.ops.window_attention as wa
+
+        monkeypatch.setattr(wa, "_WA_DEBUG", True)
+        wa.reset_logit_debug()
+        Bn, N, C, nH = 4, 12, 32, 2
+        x = jnp.asarray(rng.normal(size=(Bn, N, C)).astype(np.float32))
+        ln_s = jnp.ones((C,), jnp.float32)
+        ln_b = jnp.zeros((C,), jnp.float32)
+        wqkv = jnp.asarray(rng.normal(size=(C, 3 * C)).astype(np.float32) * .1)
+        bqkv = jnp.zeros((3 * C,), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(nH, N, N)).astype(np.float32))
+        wproj = jnp.asarray(rng.normal(size=(C, C)).astype(np.float32) * .1)
+        bproj = jnp.zeros((C,), jnp.float32)
+        out = ab.fused_window_attn_block(x, ln_s, ln_b, wqkv, bqkv, bias,
+                                         None, wproj, bproj, None,
+                                         C ** -0.5, 1e-5, no_max="clamp")
+        np.asarray(out)
+        jax.effects_barrier()
+        assert f"fused_block:nH{nH},N{N}" in wa.LOGIT_DEBUG_WORST
+
+    def test_off_by_default(self, rng):
+        import clover_tpu.ops.window_attention as wa
+
+        wa.reset_logit_debug()
+        qkv, bias = self._mk(rng)
+        out = wa.flat_window_attention(qkv, bias, None, 0.25, 2,
+                                       no_max="clamp")
+        np.asarray(out)
+        jax.effects_barrier()
+        assert wa.LOGIT_DEBUG_WORST == {}
