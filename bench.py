@@ -497,21 +497,24 @@ class _BenchEvalDataset:
             self.paths = [f"bench_video_{i}.mp4" for i in range(n)]
 
     @staticmethod
-    def write_pack(stem: str, n: int, T: int, S: int):
+    def write_pack(stem: str, n: int, T: int, S: int, s2d_patch=None):
         """Materialize the packed clip cache (once): synthetic decode +
-        eval resize paid at build time, exactly what
-        tools/build_clip_cache.py does for real corpora."""
+        eval resize (+ optionally the host_s2d patch transpose) paid at
+        build time, exactly what tools/build_clip_cache.py does for real
+        corpora."""
         from clover_tpu.data.clip_cache import ClipCache, build_clip_cache
         from clover_tpu.data.decode import SyntheticVideoBackend
 
+        want_layout = "s2d" if s2d_patch else "thwc"
         if os.path.exists(stem + ".json") and os.path.exists(stem + ".bin"):
             cache = ClipCache(stem)
-            if len(cache) >= n and cache.frames == T and cache.height == S:
+            if (len(cache) >= n and cache.frames == T and cache.height == S
+                    and cache.layout == want_layout):
                 return
         build_clip_cache(stem, [f"bench_video_{i}.mp4" for i in range(n)],
                          SyntheticVideoBackend(height=240, width=320,
                                                length=64),
-                         num_frames=T, size=S)
+                         num_frames=T, size=S, s2d_patch=s2d_patch)
 
     @staticmethod
     def write_rawframes(root: str, n: int, T: int):
@@ -537,6 +540,18 @@ class _BenchEvalDataset:
     def __getitem__(self, i: int):
         import cv2
 
+        if getattr(self.backend, "layout", "thwc") == "s2d":
+            # pre-s2d pack: the record IS the eval-ready clip in patch-
+            # embed layout; the collate detects shape[-1] != 3 and skips
+            # its s2d transform — per-clip host cost is one memcpy (paid
+            # by the collate's stack; decode returns an mmap view)
+            rng = np.random.default_rng(i)
+            return {
+                "imgs": self.backend.decode(self.paths[i],
+                                            list(range(self.T))),
+                "token_ids": rng.integers(1000, 30000, self.L).astype(np.int32),
+                "input_mask": np.ones(self.L, np.int32),
+            }
         frames = self.backend.decode(self.paths[i], list(range(self.T)))
         if frames.shape[1] != self.S or frames.shape[2] != self.S:
             # canonical short-side resize + center crop (eval contract);
@@ -595,10 +610,15 @@ def bench_loader_eval():
                                            f"bench_rawframes_T{T}"))
         _BenchEvalDataset.write_rawframes(root, N_BATCHES * B, T)
     elif BACKEND == "packed":
+        # BENCH_PACK_LAYOUT: 's2d' (default — production recommendation:
+        # resize AND patch-embed transpose paid at build time) or 'thwc'
+        layout = os.environ.get("BENCH_PACK_LAYOUT", "s2d")
         root = os.environ.get("BENCH_LOADER_ROOT",
                               os.path.join(tempfile.gettempdir(),
-                                           f"bench_pack_T{T}_S224"))
-        _BenchEvalDataset.write_pack(root, N_BATCHES * B, T, S)
+                                           f"bench_pack_T{T}_S224_{layout}"))
+        _BenchEvalDataset.write_pack(
+            root, N_BATCHES * B, T, S,
+            s2d_patch=(2, 4, 4) if layout == "s2d" else None)
     ds = _BenchEvalDataset(N_BATCHES * B, T, S, L, BACKEND, root)
 
     cfg = FinetuneConfig(
@@ -611,8 +631,12 @@ def bench_loader_eval():
     )
     model = CloverFinetune(cfg, dtype=jnp.bfloat16)
 
+    # reuse_buffers: dodge the per-batch anonymous-page first-touch cost
+    # (0.05 GB/s on this VM vs ~3 GB/s reuse — loader._BufferPool)
+    REUSE = int(os.environ.get("BENCH_REUSE_BUFFERS", 6))
     loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
-                        num_workers=WORKERS, host_s2d=cfg.swin.patch_size)
+                        num_workers=WORKERS, host_s2d=cfg.swin.patch_size,
+                        reuse_buffers=REUSE)
 
     @jax.jit
     def step(params, imgs, token_ids, input_mask, bias_cache):
@@ -633,6 +657,18 @@ def bench_loader_eval():
     np.asarray(step(params, jnp.asarray(first["imgs"]),
                     jnp.asarray(first["token_ids"]),
                     jnp.asarray(first["input_mask"]), bias_cache))
+
+    # (0) host->device bandwidth: on this image the chip sits behind a
+    # network relay (~33 MB/s measured 2026-08-20) — it, not the loader,
+    # bounds the combined rate once the pack removes decode. A real TPU
+    # host feeds over PCIe (GB/s); report the wall so the combined number
+    # can be read correctly.
+    probe = np.ascontiguousarray(first["imgs"])
+    jax.device_put(probe).block_until_ready()
+    t0 = time.time()
+    np.asarray(jnp.max(jax.device_put(probe)))
+    h2d_mbps = probe.nbytes / (time.time() - t0) / 2 ** 20
+    bytes_per_clip = probe.nbytes / probe.shape[0]
 
     # (1) loader-only rate: full host pipeline, nothing dispatched
     t0 = time.time()
@@ -681,6 +717,10 @@ def bench_loader_eval():
         "device_only_clips_per_sec": round(clips / device_dt, 3),
         # fraction of the combined wall the device sat idle waiting on host
         "device_idle_frac": round(max(0.0, 1.0 - device_dt / combined_dt), 4),
+        "h2d_MBps": round(h2d_mbps, 1),
+        # what the transfer link alone allows (combined can't beat this)
+        "h2d_bound_clips_per_sec": round(h2d_mbps * 2 ** 20 / bytes_per_clip,
+                                         1),
         "device": str(jax.devices()[0]),
     }))
 

@@ -143,6 +143,21 @@ class VideoTextDataset:
     def _decode_clip(self, path: str, n_frames: int, canonical: int,
                      rng: np.random.Generator, test: bool) -> np.ndarray:
         full = os.path.join(self.data_prefix, path)
+        if getattr(self.backend, "layout", "thwc") == "s2d":
+            # pre-s2d clip pack (clip_cache layout='s2d'): the record IS
+            # the eval-ready clip — resize and the patch-embed transpose
+            # were paid at pack-build time; per-clip cost is one memcpy.
+            cache = self.backend.cache
+            if not test:
+                raise ValueError("s2d clip packs are eval-only (the s2d "
+                                 "transform kills in-record frame sampling)")
+            if (cache.frames != n_frames or cache.height != canonical
+                    or cache.width != canonical):
+                raise ValueError(
+                    f"s2d pack holds {cache.frames}x{cache.height}x"
+                    f"{cache.width} clips; dataset asked {n_frames}x"
+                    f"{canonical}x{canonical}")
+            return self.backend.decode(full, list(range(n_frames)))
         total = self.backend.num_frames(full)
         inds = sample_frame_indices(
             total, clip_len=1, num_clips=n_frames, test_mode=test, rng=rng)

@@ -114,6 +114,61 @@ def default_collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.nd
     return out
 
 
+class _BufferPool:
+    """Ring of reusable batch buffers keyed by (shape, dtype).
+
+    A fresh numpy allocation pays anonymous-page first-touch faults —
+    measured 0.05 GB/s on this image's VM vs ~3 GB/s for a reused buffer
+    (BASELINE.md host-pipeline log) — so stacking every batch into new
+    memory can cost more than the copy itself. The pool hands out the
+    same ``depth`` buffers round-robin per (shape, dtype); a buffer is
+    overwritten again only ``depth`` batches later, which is safe for
+    the loader's bounded pipeline (prefetch queue + the one batch the
+    consumer holds + the one being transferred must be < depth)."""
+
+    def __init__(self, depth: int = 4):
+        import threading
+
+        self.depth = depth
+        self._rings: Dict[tuple, list] = {}
+        self._next: Dict[tuple, int] = {}
+        self._lock = threading.Lock()    # collates run in worker threads
+
+    def take(self, shape: tuple, dtype) -> np.ndarray:
+        key = (tuple(shape), np.dtype(dtype).str)
+        with self._lock:
+            ring = self._rings.get(key)
+            if ring is None:
+                ring = self._rings[key] = [np.empty(shape, dtype)
+                                           for _ in range(self.depth)]
+                self._next[key] = 0
+            i = self._next[key]
+            self._next[key] = (i + 1) % self.depth
+        return ring[i]
+
+    def stack(self, arrs: Sequence[np.ndarray]) -> np.ndarray:
+        first = np.asarray(arrs[0])
+        out = self.take((len(arrs),) + first.shape, first.dtype)
+        for i, a in enumerate(arrs):
+            np.copyto(out[i], a)
+        return out
+
+
+def make_pooled_collate(depth: int = 4):
+    """default_collate variant stacking into a reused buffer ring — see
+    _BufferPool. Use DataLoader(reuse_buffers=depth) to enable; batches
+    are only valid until ``depth`` more batches have been produced."""
+    pool = _BufferPool(depth)
+
+    def collate(samples):
+        out: Dict[str, np.ndarray] = {}
+        for key in samples[0]:
+            out[key] = pool.stack([np.asarray(s[key]) for s in samples])
+        return out
+
+    return collate
+
+
 def make_s2d_collate(patch=(2, 4, 4), inner=default_collate):
     """Collate wrapper emitting space-to-depth'd frames for the
     embed_impl='host_s2d' patch embed (DataLoader(host_s2d=...)).
@@ -127,7 +182,10 @@ def make_s2d_collate(patch=(2, 4, 4), inner=default_collate):
 
     def collate(samples):
         out = inner(samples)
-        if "imgs" in out:
+        if "imgs" in out and out["imgs"].shape[-1] == 3:
+            # a trailing dim != 3 means the samples are ALREADY in s2d
+            # layout (pre-s2d clip pack, clip_cache layout='s2d') — the
+            # transform was paid at pack-build time
             out["imgs"] = space_to_depth_host(out["imgs"], patch)
         return out
 
@@ -151,11 +209,20 @@ class DataLoader:
         collate_fn=default_collate,
         worker_type: str = "thread",     # 'thread' | 'process'
         host_s2d=None,                   # patch tuple -> s2d 'imgs' collate
+        reuse_buffers: int = 0,          # >0: _BufferPool depth (see class)
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        if reuse_buffers:
+            if reuse_buffers <= prefetch + 2:
+                raise ValueError(
+                    f"reuse_buffers={reuse_buffers} must exceed prefetch+2="
+                    f"{prefetch + 2} (queue + consumer + in-transfer batches"
+                    " would alias)")
+            if collate_fn is default_collate:
+                collate_fn = make_pooled_collate(reuse_buffers)
         if host_s2d:
             collate_fn = make_s2d_collate(tuple(host_s2d), collate_fn)
         self.collate_fn = collate_fn

@@ -36,6 +36,11 @@ def canonical_host_resize(frames: np.ndarray, canonical: int) -> np.ndarray:
     canonical); uint8 in/out. Host-side (cv2), amortized per decode."""
     import cv2
 
+    if frames.shape[-1] != 3:
+        raise ValueError(
+            f"frames {frames.shape} are already space-to-depth'd (s2d clip "
+            "pack) — this path cannot resize them; use a thwc pack or the "
+            "dataset's s2d fast path")
     if frames.shape[1] == canonical and frames.shape[2] == canonical:
         return frames  # already canonical (packed clip cache) — no-op
     out = np.empty((frames.shape[0], canonical, canonical, 3), dtype=np.uint8)
