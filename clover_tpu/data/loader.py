@@ -150,7 +150,7 @@ class _BufferPool:
         first = np.asarray(arrs[0])
         out = self.take((len(arrs),) + first.shape, first.dtype)
         for i, a in enumerate(arrs):
-            np.copyto(out[i], a)
+            out[i] = a          # works for 0-d (scalar) samples too
         return out
 
 

@@ -82,41 +82,74 @@ def gemm_times(M, K, N, adt, bdt, f32_divisor=1.0):
 
 
 # pallas window-attention kernels: per-(stage, pass) dot inventory.
-# Logical dims per stage of Swin-B at 8x224^2 pretrain (2 streams, B
-# clips each): rows = 2*B*T'*H'*W', nH heads, hd=32, N window tokens
-# (196), region lanes nr=8 -> QK-type contraction hd+nr=40.
-def attn_dots(B=16, T2=4, stages=((128, 4, 56, 2), (256, 8, 28, 2),
-                                  (512, 16, 14, 18), (1024, 32, 7, 2))):
+# Logical dims per stage of Swin-B at T x 224^2: rows =
+# streams*B*T'*H'*W' (pretrain: 2 streams fwd+bwd; eval: 1 stream fwd
+# only), nH heads, hd=32, N window tokens (196 at T'=4; (8,7,7)-window
+# 392 at T' >= 8), region lanes nr=8 -> QK-type contraction hd+nr=40.
+def attn_dots(B=16, T2=4, streams=2, fwd_only=False,
+              stages=((128, 4, 56, 2), (256, 8, 28, 2),
+                      (512, 16, 14, 18), (1024, 32, 7, 2))):
     out = []
     for C, nH, S, depth in stages:
-        rows = 2 * B * T2 * S * S
-        N = 196 if S >= 7 else T2 * S * S
+        rows = streams * B * T2 * S * S
+        N = min(T2, 8) * 49 if S >= 7 else T2 * S * S
         hd, nr = 32, 8
         W = rows // N
         # fwd: QK^T (contraction hd+nr lanes), PV (contraction N, [v|1])
         fwd = [(W * N, hd + nr, N), (W * N, N, hd + 1)]
         # bwd (p32 form): recompute QK^T, dv = p^T g, dp = g v^T,
         # dq = dS k, dk = dS^T q  (per head)
-        bwd = [(W * N, hd + nr, N), (N * W, N, hd), (W * N, hd, N),
-               (W * N, N, hd + nr), (W * N, N, hd + nr)]
+        bwd = [] if fwd_only else [
+            (W * N, hd + nr, N), (N * W, N, hd), (W * N, hd, N),
+            (W * N, N, hd + nr), (W * N, N, hd + nr)]
         for (M, K, Nn) in fwd + bwd:
             for _ in range(nH * depth):
                 out.append((M, K, Nn, "bf16", "bf16", f"attn-s{C}"))
     return out
 
 
-def attn_vpu_floor(B=16, T2=4, stages=((128, 4, 56, 2), (256, 8, 28, 2),
-                                       (512, 16, 14, 18), (1024, 32, 7, 2)),
+def mlp_dots(B=16, T2=4, streams=2,
+             stages=((128, 4, 56, 2), (256, 8, 28, 2),
+                     (512, 16, 14, 18), (1024, 32, 7, 2))):
+    """Swin MLP halves when they run as pallas kernels (fused_mlp default:
+    fc1 + gelu + fc2 in VMEM) — their GEMMs never appear in the HLO.
+    Forward only (the explicit bwd runs as XLA GEMMs, which parse)."""
+    out = []
+    for C, nH, S, depth in stages:
+        rows = streams * B * T2 * S * S
+        for _ in range(depth):
+            out.append((rows, C, 4 * C, "bf16", "bf16", f"mlp-s{C}"))
+            out.append((rows, 4 * C, C, "bf16", "bf16", f"mlp-s{C}"))
+    return out
+
+
+def attn_block_dots(B=16, T2=4, streams=1,
+                    stages=((128, 4, 56, 2), (256, 8, 28, 2),
+                            (512, 16, 14, 18), (1024, 32, 7, 2))):
+    """qkv + proj GEMMs when the fused attn-block half kernel is active
+    (auto gate N >= 384, i.e. 32-frame shapes) — in-kernel, not in HLO."""
+    out = []
+    for C, nH, S, depth in stages:
+        rows = streams * B * T2 * S * S
+        for _ in range(depth):
+            out.append((rows, C, 3 * C, "bf16", "bf16", f"qkvproj-s{C}"))
+            out.append((rows, C, C, "bf16", "bf16", f"qkvproj-s{C}"))
+    return out
+
+
+def attn_vpu_floor(B=16, T2=4, streams=2, fwd_only=False,
+                   stages=((128, 4, 56, 2), (256, 8, 28, 2),
+                           (512, 16, 14, 18), (1024, 32, 7, 2)),
                    vpu_ops_per_sec=3.8e12):
     """Softmax VPU floor: logits live at lane-padded width. Per element:
     fwd ~10 f32 VPU ops (shifted exp ~7 + cast + bias add), bwd ~14
     (exp recompute + p32 normalize + dlog fused mul-sub + casts)."""
     total = 0.0
     for C, nH, S, depth in stages:
-        rows = 2 * B * T2 * S * S
-        N = 196 if S >= 7 else T2 * S * S
+        rows = streams * B * T2 * S * S
+        N = min(T2, 8) * 49 if S >= 7 else T2 * S * S
         elems = rows * _pad(N, 128) * nH * depth
-        total += elems * (10 + 14) / vpu_ops_per_sec
+        total += elems * (10 + (0 if fwd_only else 14)) / vpu_ops_per_sec
     return total
 
 
@@ -127,10 +160,30 @@ def main():
                     help="total HBM bytes/step (from cost_analysis)")
     ap.add_argument("--measured-ms", type=float, default=None)
     ap.add_argument("--attn-batch", type=int, default=16)
+    ap.add_argument("--attn-t2", type=int, default=4,
+                    help="temporal tokens T/2 (4 for 8-frame, 16 for 32)")
+    ap.add_argument("--streams", type=int, default=2,
+                    help="Swin streams (2 pretrain, 1 eval/finetune)")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="eval step: price only forward attention dots")
+    ap.add_argument("--mlp-pallas", action="store_true",
+                    help="add the fused-MLP kernels' in-VMEM GEMMs "
+                         "(forward) to the inventory")
+    ap.add_argument("--attn-block-fused", action="store_true",
+                    help="add the fused attn-block half's in-kernel "
+                         "qkv/proj GEMMs (N >= 384 shapes)")
     ap.add_argument("--f32-divisor", type=float, default=1.0)
     args = ap.parse_args()
 
-    rows = parse_gemms(args.hlo) + attn_dots(B=args.attn_batch)
+    rows = parse_gemms(args.hlo) + attn_dots(
+        B=args.attn_batch, T2=args.attn_t2, streams=args.streams,
+        fwd_only=args.fwd_only)
+    if args.mlp_pallas:
+        rows += mlp_dots(B=args.attn_batch, T2=args.attn_t2,
+                         streams=args.streams)
+    if args.attn_block_fused:
+        rows += attn_block_dots(B=args.attn_batch, T2=args.attn_t2,
+                                streams=args.streams)
     per_src = collections.defaultdict(lambda: [0.0, 0.0, 0])
     tot_d = tot_p = 0.0
     for M, K, N, adt, bdt, src in rows:
@@ -147,7 +200,8 @@ def main():
                                        key=lambda kv: -kv[1][1]):
         print(f"{src:<38} {dt:<5} {n:>5} {d * 1e3:>9.2f} {p * 1e3:>10.2f} "
               f"{p / max(d, 1e-12):>6.2f}")
-    vpu = attn_vpu_floor(B=args.attn_batch)
+    vpu = attn_vpu_floor(B=args.attn_batch, T2=args.attn_t2,
+                         streams=args.streams, fwd_only=args.fwd_only)
     print(f"\nGEMM floor: dense {tot_d * 1e3:.1f} ms, "
           f"padded {tot_p * 1e3:.1f} ms "
           f"(structural padding {tot_p / tot_d:.2f}x)")
