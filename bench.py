@@ -436,6 +436,12 @@ def bench_train():
 
     key = jax.random.key(
         1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))  # hw-RNG dropout
+    dump = os.environ.get("BENCH_DUMP_HLO")
+    if dump:
+        # optimized HLO of the EXACT traced program — instruction names
+        # match the profiler trace events (trace_groups.py --hlo regions)
+        with open(dump, "w") as f:
+            f.write(run_all.lower(state, batches, key).compile().as_text())
     state, losses = run_all(state, batches, key)  # compile + warm
     # host transfer forces completion (block_until_ready is unreliable
     # through the axon relay — measured as a no-op)
@@ -840,14 +846,16 @@ def bench_loader_train():
     tx, _ = make_optimizer(params, base_lr=5e-5, total_steps=1000,
                            warmup_steps=10)
     state = TrainState.create(params, tx)
-    # NO donation: this bench re-creates states from the same params
-    # pytree (donating the state would donate the shared param buffers)
+    del params    # state owns the buffers; the donated chain below frees
+    # ONE donated state chained through every phase — holding a second
+    # state (3+ GB params+opt) alongside B=16 no-remat activations OOMs
     step = jax.jit(make_pretrain_train_step(model, jit=False,
-                                            grad_clip_norm=15.0))
+                                            grad_clip_norm=15.0),
+                   donate_argnums=0)
     key = jax.random.key(1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))
-    warm_state, metrics = step(state, first, key)   # warm the compile
+    state, metrics = step(state, first, key)        # warm the compile
     np.asarray(metrics["loss"])
-    del warm_state
+    del first
 
     # (0) host->device link probe (see bench_loader_eval)
     probe = np.ascontiguousarray(first_host["imgs"])
@@ -865,11 +873,10 @@ def bench_loader_train():
     loader_dt = time.time() - t0
 
     # (2) combined: loader -> device prefetch -> preprocess + train step
-    state2 = TrainState.create(params, tx)
     losses = []
     t0 = time.time()
     for b in prefetch_to_device(loader.epoch(0), size=2):
-        state2, metrics = step(state2, model_batch(b), key)
+        state, metrics = step(state, model_batch(b), key)
         losses.append(metrics["loss"])
     losses = np.asarray([np.asarray(x) for x in losses])
     combined_dt = time.time() - t0
@@ -877,14 +884,9 @@ def bench_loader_train():
 
     # (3) device-only: same per-batch dispatch from pre-staged host batches
     staged = [jax.tree_util.tree_map(jnp.asarray, b) for b in loader.epoch(0)]
-    state3 = TrainState.create(params, tx)
-    for b in staged:                                   # warm queue once
-        state3, metrics = step(state3, model_batch(b), key)
-    np.asarray(metrics["loss"])
-    state3 = TrainState.create(params, tx)
     t0 = time.time()
     for b in staged:
-        state3, metrics = step(state3, model_batch(b), key)
+        state, metrics = step(state, model_batch(b), key)
     np.asarray(metrics["loss"])
     device_dt = time.time() - t0
 
@@ -909,8 +911,46 @@ def bench_loader_train():
     }))
 
 
+def bench_vmem_audit():
+    """BENCH_MODE=vmem_audit: run the per-round kernel-picker VMEM audit
+    (tools/vmem_audit.py — every shipped kernel shape must compile when
+    its picker says feasible) and the train-recipe HBM audit
+    (tools/hbm_audit.py — shipped recipes must fit; boundary recipes
+    document the OOM cliff), emitting one JSON line for the driver.
+    Closes VERDICT r3 #6: both audits now run in the bench environment
+    where a chip is attached, not by hand."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    results = {}
+    for name, script in (("vmem", "tools/vmem_audit.py"),
+                         ("hbm", "tools/hbm_audit.py")):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, script)], env=env,
+            capture_output=True, text=True, timeout=3600)
+        results[name] = {
+            "ok": proc.returncode == 0,
+            "tail": proc.stdout.strip().splitlines()[-1] if proc.stdout
+            else proc.stderr.strip().splitlines()[-1][:200],
+        }
+    failures = sum(0 if r["ok"] else 1 for r in results.values())
+    print(json.dumps({
+        "metric": "kernel_vmem_hbm_audit_failed_suites",
+        "value": failures,
+        "unit": "suites",
+        "vs_baseline": None,
+        "vmem": results["vmem"],
+        "hbm": results["hbm"],
+    }))
+    sys.exit(1 if failures else 0)
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "eval")
+    if mode == "vmem_audit":
+        bench_vmem_audit()
+        return
     if mode == "train":
         if os.environ.get("BENCH_INPUT") == "loader":
             bench_loader_train()

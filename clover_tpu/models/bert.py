@@ -128,6 +128,9 @@ import os as _os
 # fuse the post-LN MLP half LN(x + fc2(gelu(fc1(x)))) into one Pallas
 # kernel on deterministic (fwd-only) passes; CLOVER_BERT_MLP=xla opts out
 _BERT_FUSED_MLP = _os.environ.get("CLOVER_BERT_MLP", "pallas") != "xla"
+# TRAIN-pass fused MLP (dropout rides as a mask arg). Opt-in until the
+# on-chip A/B lands; see fused_mlp_postln_dropout.
+_BERT_FUSED_MLP_TRAIN = _os.environ.get("CLOVER_BERT_MLP_TRAIN", "0") == "1"
 
 
 class BertLayer(nn.Module):
@@ -148,9 +151,12 @@ class BertLayer(nn.Module):
         x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
                        name="attention_norm")(x + attn, deterministic)
 
-        if deterministic and _BERT_FUSED_MLP:
+        use_fused_train = (not deterministic and _BERT_FUSED_MLP
+                           and _BERT_FUSED_MLP_TRAIN)
+        if (deterministic and _BERT_FUSED_MLP) or use_fused_train:
             from clover_tpu.models.layers import DenseParams, LayerNormParams
-            from clover_tpu.ops.mlp_block import fused_mlp_postln
+            from clover_tpu.ops.mlp_block import (fused_mlp_postln,
+                                                  fused_mlp_postln_dropout)
 
             # declare the three submodules' params at their canonical
             # paths (checkpoint-identical to the nn.Dense path, pinned by
@@ -161,9 +167,21 @@ class BertLayer(nn.Module):
             k_o, b_o = DenseParams(cfg.intermediate_size, C,
                                    kernel_init=init, name="output")()
             scale, bias = LayerNormParams(C, name="output_norm")()
-            out = fused_mlp_postln(
-                x.reshape(-1, C), scale, bias, k_i, b_i, k_o, b_o,
-                cfg.layer_norm_eps)
+            x2 = x.reshape(-1, C)
+            if deterministic or cfg.hidden_dropout == 0.0:
+                out = fused_mlp_postln(x2, scale, bias, k_i, b_i, k_o, b_o,
+                                       cfg.layer_norm_eps)
+            else:
+                # hidden dropout rides the kernel as a precomputed
+                # {0, 1/keep} mask from the rbg stream (CLOVER_BERT_MLP_
+                # TRAIN; same placement as nn.Dropout in the path below)
+                keep = 1.0 - cfg.hidden_dropout
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep,
+                    x2.shape).astype(jnp.float32) / keep
+                out = fused_mlp_postln_dropout(
+                    x2, scale, bias, k_i, b_i, k_o, b_o, mask,
+                    cfg.layer_norm_eps)
             return out.reshape(x.shape)
 
         inter = dense(cfg.intermediate_size, dtype=self.dtype, kernel_init=init,

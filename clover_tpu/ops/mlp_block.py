@@ -308,6 +308,186 @@ def _bwd_postln(eps, residuals, g):
 fused_mlp_postln.defvjp(_fwd_postln, _bwd_postln)
 
 
+# ---- post-LN MLP WITH hidden dropout (BERT/fusion TRAIN path) -----------
+# out = LN(x + drop_mask * (fc2(gelu(fc1(x))) + b2)); drop_mask is the
+# precomputed {0, 1/keep} f32 mask (caller generates it from the rbg
+# dropout stream — mask-bit generation is ~free post-r3, BASELINE.md).
+# Matches flax nn.Dropout's placement in the unfused BertLayer exactly;
+# lets the fused kernel run on TRAINING passes too (VERDICT r3 #3: the
+# BERT/fusion region sat ~10 ms above its floor, dominated by many small
+# ops the eval path fuses away).
+
+
+def _kernel_postln_mask(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                        m_ref, out_ref, acc_ref, *, eps: float,
+                        n_chunks: int):
+    j = pl.program_id(1)
+    x = x_ref[:].astype(jnp.float32)
+    h = jnp.dot(x_ref[:], w1_ref[:],
+                preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _gelu(h, "erf")
+    y = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
+                preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = y
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + y
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        z = x + (acc_ref[:] + b2_ref[:]) * m_ref[:]
+        mean = jnp.mean(z, axis=-1, keepdims=True)
+        zc = z - mean
+        var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+        out = zc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
+        out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _xla_reference_postln_mask(x, scale, bias, w1, b1, w2, b2, m, eps):
+    h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False)
+    y = jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
+                preferred_element_type=jnp.float32) + b2
+    z = x.astype(jnp.float32) + y * m
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    out = zc * jax.lax.rsqrt(var + eps) * scale + bias
+    return out.astype(x.dtype)
+
+
+def _forward_postln_mask(x, scale, bias, w1, b1, w2, b2, m, eps):
+    if not _on_tpu() and not _FORCE_PALLAS:
+        return _xla_reference_postln_mask(x, scale, bias, w1, b1, w2, b2,
+                                          m, eps)
+    rows, C = x.shape
+    H = w1.shape[1]
+    # the f32 mask block adds R*C*4 to the picker's activation budget —
+    # covered by the same term the fp32-x block already accounts for
+    R, Hc = _pick_tiles(rows, C, H, x.dtype.itemsize)
+    if R == 0:
+        return _xla_reference_postln_mask(x, scale, bias, w1, b1, w2, b2,
+                                          m, eps)
+    n_chunks = H // Hc
+    f32 = jnp.float32
+    in_specs = [
+        pl.BlockSpec((R, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, Hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hc), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hc, C), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, scale.astype(f32).reshape(1, C), bias.astype(f32).reshape(1, C),
+            w1.astype(x.dtype), b1.astype(f32).reshape(1, H),
+            w2.astype(x.dtype), b2.astype(f32).reshape(1, C),
+            m.astype(f32)]
+    return pl.pallas_call(
+        functools.partial(_kernel_postln_mask, eps=eps, n_chunks=n_chunks),
+        grid=(pl.cdiv(rows, R), n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, C), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R, C), f32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * C * H,
+            bytes_accessed=(2 * rows * C + 2 * C * H) * x.dtype.itemsize
+            + rows * C * 4,
+            transcendentals=rows * H,
+        ),
+        interpret=not _on_tpu(),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_mlp_postln_dropout(x, scale, bias, w1, b1, w2, b2, drop_mask,
+                             eps: float = 1e-12):
+    """LN(x + drop_mask * (fc2(gelu(fc1(x))) + b2)) — the BertLayer MLP
+    half with its hidden dropout, for TRAINING passes. drop_mask (rows, C)
+    f32 in {0, 1/keep}; its gradient is ZERO by contract (dropout masks
+    are never trainable)."""
+    return _forward_postln_mask(x, scale, bias, w1, b1, w2, b2, drop_mask,
+                                eps)
+
+
+def _fwd_postln_mask(x, scale, bias, w1, b1, w2, b2, m, eps):
+    return (_forward_postln_mask(x, scale, bias, w1, b1, w2, b2, m, eps),
+            (x, scale, bias, w1, b1, w2, b2, m))
+
+
+def _xla_backward_postln_mask(x, scale, bias, w1, b1, w2, b2, m, eps, g):
+    """_xla_backward_postln with the dropout mask threaded through:
+    z = x + (fc2(h)+b2)*m, so dy = dz*m and db2 = sum(dz*m). Shares the
+    bf16-GEMM-operand convention and the CLOVER_MLP_BWD_HBM knob
+    semantics (the knob's zpre rounding shifts the recomputed LN stats —
+    see _xla_backward_postln)."""
+    dt = x.dtype
+    f32 = jnp.float32
+    w1_bf, w2_bf = w1.astype(dt), w2.astype(dt)
+    zpre = jnp.dot(x, w1_bf, preferred_element_type=f32) + b1
+    if _BWD_HBM_BF16:
+        zpre = zpre.astype(dt).astype(f32)
+    h = jax.nn.gelu(zpre, approximate=False)
+    h_bf = h.astype(dt)
+    y = jnp.dot(h_bf, w2_bf, preferred_element_type=f32) + b2
+    m32 = m.astype(f32)
+    z = x.astype(f32) + y * m32
+    mean = jnp.mean(z, axis=-1, keepdims=True)
+    zc = z - mean
+    var = jnp.mean(zc * zc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    zn = zc * inv
+
+    g32 = g.astype(f32)
+    dscale = jnp.sum(g32 * zn, axis=0)
+    dbias = jnp.sum(g32, axis=0)
+    dzn = g32 * scale
+    dz = inv * (dzn - jnp.mean(dzn, axis=-1, keepdims=True)
+                - zn * jnp.mean(dzn * zn, axis=-1, keepdims=True))
+    dy = dz * m32
+    dy_bf = dy.astype(dt)
+    dh = jax.lax.dot_general(dy_bf, w2_bf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    if _BWD_HBM_BF16:
+        dh = dh.astype(dt).astype(f32)
+    dzpre = dh * _gelu_grad(zpre, "erf")
+    dzpre_bf = dzpre.astype(dt)
+    dx2 = jax.lax.dot_general(dzpre_bf, w1_bf, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    dw1 = jax.lax.dot_general(x, dzpre_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db1 = (jnp.sum(dzpre_bf.astype(f32), axis=0) if _BWD_HBM_BF16
+           else jnp.sum(dzpre, axis=0))
+    dw2 = jax.lax.dot_general(h_bf, dy_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db2 = jnp.sum(dy, axis=0)
+    dx = (dz + dx2).astype(dt)
+    return (dx, dscale.astype(scale.dtype), dbias.astype(bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            jnp.zeros_like(m))    # dropout masks are trace constants
+
+
+def _bwd_postln_mask(eps, residuals, g):
+    x, scale, bias, w1, b1, w2, b2, m = residuals
+    if not _BWD_F32:
+        return _xla_backward_postln_mask(x, scale, bias, w1, b1, w2, b2,
+                                         m, eps, g)
+    _, vjp = jax.vjp(lambda *a: _xla_reference_postln_mask(*a, eps),
+                     x, scale, bias, w1, b1, w2, b2, m)
+    return vjp(g)
+
+
+fused_mlp_postln_dropout.defvjp(_fwd_postln_mask, _bwd_postln_mask)
+
+
 def _xla_reference(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
                    gelu_mode="erf"):
     x32 = x.astype(jnp.float32)

@@ -403,3 +403,140 @@ def test_onepass_bwd_matches_xla_grads(mode, with_rs, ragged, monkeypatch):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-4, atol=2e-4, err_msg=n)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_postln_dropout_matches_reference(dtype, monkeypatch):
+    """fused_mlp_postln_dropout (kernel, interpret on CPU) == the XLA
+    reference with the same mask, for f32 and bf16 operands."""
+    monkeypatch.setattr(MB, "_FORCE_PALLAS", True)
+    rng = np.random.default_rng(21)
+    rows, C, H = 48, 64, 256
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    m = jnp.asarray((rng.random((rows, C)) > 0.1).astype(np.float32) / 0.9)
+
+    got = MB.fused_mlp_postln_dropout(x, scale, bias, w1, b1, w2, b2, m)
+    ref = MB._xla_reference_postln_mask(x, scale, bias, w1, b1, w2, b2,
+                                        m, 1e-12)
+    atol = 2e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=atol)
+
+
+def test_postln_dropout_equals_unfused_bertlayer_math():
+    """With the same mask, the dropout-kernel math == the unfused flax
+    path (dense -> gelu -> dense -> mask-mul -> residual -> LN)."""
+    rng = np.random.default_rng(23)
+    rows, C, H = 32, 64, 128
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.zeros(H, np.float32)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    keep = 0.9
+    m = jnp.asarray((rng.random((rows, C)) > (1 - keep)).astype(np.float32)
+                    / keep)
+
+    got = MB.fused_mlp_postln_dropout(x, scale, bias, w1, b1, w2, b2, m)
+
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    y = (h @ w2 + b2) * m                      # nn.Dropout placement
+    z = x + y
+    mean = z.mean(-1, keepdims=True)
+    var = ((z - mean) ** 2).mean(-1, keepdims=True)
+    ref = (z - mean) * jax.lax.rsqrt(var + 1e-12) * scale + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_postln_dropout_backward_matches_f32_vjp(dtype):
+    rng = np.random.default_rng(29)
+    rows, C, H = 40, 64, 256
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
+    scale = jnp.asarray(rng.normal(size=C).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    w1 = jnp.asarray(rng.normal(size=(C, H)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=H).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(H, C)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=C).astype(np.float32) * 0.1)
+    m = jnp.asarray((rng.random((rows, C)) > 0.1).astype(np.float32) / 0.9)
+    g = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
+
+    got = MB._xla_backward_postln_mask(x, scale, bias, w1, b1, w2, b2, m,
+                                       1e-12, g)
+    _, vjp = jax.vjp(lambda *a: MB._xla_reference_postln_mask(*a, 1e-12),
+                     x, scale, bias, w1, b1, w2, b2, m)
+    ref = vjp(g)
+    names = ["dx", "dscale", "dbias", "dw1", "db1", "dw2", "db2", "dm"]
+    atol = 4e-3 if dtype == jnp.float32 else 1.2e-2
+    for n, a, b in zip(names, got, ref):
+        if n == "dm":
+            continue   # mask grad is zero by contract (trace constant)
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        den = max(1.0, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a / den, b / den, rtol=0, atol=atol,
+                                   err_msg=n)
+
+
+def test_bertlayer_fused_train_matches_unfused(monkeypatch):
+    """CLOVER_BERT_MLP_TRAIN: a training BertLayer forward with the fused
+    dropout kernel matches the unfused flax path EXACTLY when dropout=0,
+    and param trees are identical either way."""
+    import clover_tpu.models.bert as bert_mod
+    from clover_tpu.models.bert import BertConfig, BertLayer
+
+    cfg = BertConfig(hidden_size=32, num_attention_heads=2,
+                     intermediate_size=64, num_hidden_layers=1,
+                     hidden_dropout=0.0, attention_dropout=0.0)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    attn_bias = jnp.zeros((2, 1, 1, 10), jnp.float32)
+
+    layer = BertLayer(cfg)
+    params = layer.init(jax.random.PRNGKey(0), x, attn_bias)
+
+    monkeypatch.setattr(bert_mod, "_BERT_FUSED_MLP_TRAIN", True)
+    out_fused = layer.apply(params, x, attn_bias, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    monkeypatch.setattr(bert_mod, "_BERT_FUSED_MLP_TRAIN", False)
+    out_unfused = layer.apply(params, x, attn_bias, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(out_fused),
+                               np.asarray(out_unfused), atol=2e-5)
+
+
+def test_bertlayer_fused_train_dropout_stats(monkeypatch):
+    """With dropout>0 the fused train path produces a mask of the right
+    rate and scale (mean preserved, ~p zeros on the mlp residual)."""
+    import clover_tpu.models.bert as bert_mod
+    from clover_tpu.models.bert import BertConfig, BertLayer
+
+    cfg = BertConfig(hidden_size=64, num_attention_heads=2,
+                     intermediate_size=128, num_hidden_layers=1,
+                     hidden_dropout=0.5, attention_dropout=0.0)
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(rng.normal(size=(4, 16, 64)).astype(np.float32))
+    attn_bias = jnp.zeros((4, 1, 1, 16), jnp.float32)
+    layer = BertLayer(cfg)
+    params = layer.init(jax.random.PRNGKey(0), x, attn_bias)
+
+    monkeypatch.setattr(bert_mod, "_BERT_FUSED_MLP_TRAIN", True)
+    outs = [np.asarray(layer.apply(params, x, attn_bias,
+                                   deterministic=False,
+                                   rngs={"dropout": jax.random.PRNGKey(s)}))
+            for s in range(8)]
+    det = np.asarray(layer.apply(params, x, attn_bias, deterministic=True))
+    # dropout must change the output per seed, and average toward the
+    # deterministic output (unbiased 1/keep scaling)
+    assert not np.allclose(outs[0], outs[1])
+    err_one = np.abs(outs[0] - det).mean()
+    err_avg = np.abs(np.mean(outs, axis=0) - det).mean()
+    assert err_avg < err_one * 0.6

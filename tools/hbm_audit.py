@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""HBM-side audit of the pretrain train-step recipes (VERDICT r3 #6).
+
+The r3 kernel generation silently moved the HBM OOM cliff (B=8 32-frame
+remat-0,1 fit in r2, OOMs post-r3 — found only by re-sweep). TPU memory
+is allocated statically at compile time, so the cliff is fully visible
+without running a step: this tool compiles each recipe's train step
+(abstract operands via jax.eval_shape — no host data) and reports the
+executable's memory_analysis (arguments / outputs / temps / total) vs
+the chip's HBM, flagging OOMs and <5% headroom.
+
+Run on TPU:
+  python tools/hbm_audit.py                 # shipped + boundary recipes
+  python tools/hbm_audit.py --recipes 8f-B16,32f-B4
+Exit code 1 if any SHIPPED recipe fails to compile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+# (label, B, T, remat, shipped) — shipped recipes MUST fit; boundary ones
+# document where the cliff sits this round (BASELINE.md r3/r4 sweeps)
+RECIPES = [
+    ("8f-B16", 16, 8, False, True),          # pretrain train recipe
+    ("8f-B24", 24, 8, False, False),         # fits post-r3 (58.7 clips/s)
+    ("8f-B32", 32, 8, False, False),         # OOM boundary (r2/r3 sweeps)
+    ("32f-B4", 4, 32, False, True),          # 32-frame recipe
+    ("32f-B8-remat01", 8, 32, (0, 1), False),  # the r3 regression shape
+]
+
+
+def build(B, T, remat):
+    import jax.numpy as jnp
+
+    from clover_tpu.models import (
+        BertConfig,
+        CloverPretrain,
+        FusionConfig,
+        PretrainConfig,
+        SwinConfig,
+    )
+
+    cfg = PretrainConfig(
+        swin=SwinConfig.base(mask_token=True,
+                             use_checkpoint=remat if remat else False),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+    )
+    model = CloverPretrain(cfg, dtype=jnp.bfloat16)
+    L, S = 30, 224
+    batch = {
+        "imgs": np.zeros((B, 1, T, S, S, 3), np.float32),
+        "token_ids": np.zeros((B, L), np.int32),
+        "input_mask": np.ones((B, L), np.int32),
+        "mlm_label": np.full((B, L), -100, np.int32),
+        "v_token_mask": np.zeros((B, 7, 7), np.int32),
+    }
+    return model, batch
+
+
+def audit_one(label, B, T, remat, hbm_bytes):
+    import jax
+
+    from clover_tpu.engine import TrainState, make_optimizer
+    from clover_tpu.engine.steps import make_pretrain_train_step
+
+    model, batch = build(B, T, remat)
+    batch_s = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), batch)
+    params_s = jax.eval_shape(
+        lambda b: model.init(jax.random.PRNGKey(0), b, train=False)["params"],
+        batch_s)
+    tx, _ = make_optimizer(params_s, base_lr=5e-5, total_steps=1000,
+                           warmup_steps=10)
+    state_s = jax.eval_shape(lambda p: TrainState.create(p, tx), params_s)
+    step = make_pretrain_train_step(model, jit=False, grad_clip_norm=15.0)
+    key = jax.random.key(1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))
+    try:
+        compiled = jax.jit(step, donate_argnums=0).lower(
+            state_s, batch_s, key).compile()
+    except Exception as e:  # noqa: BLE001 — report any compile failure
+        msg = str(e).splitlines()[0][:140]
+        return {"label": label, "ok": False, "error": msg}
+    mem = compiled.memory_analysis()
+    row = {
+        "label": label,
+        "ok": True,
+        "args_gb": round(mem.argument_size_in_bytes / 2 ** 30, 2),
+        "out_gb": round(mem.output_size_in_bytes / 2 ** 30, 2),
+        "temp_gb": round(mem.temp_size_in_bytes / 2 ** 30, 2),
+        "alias_gb": round(mem.alias_size_in_bytes / 2 ** 30, 2),
+    }
+    # live peak: args + outputs + temps - donated/aliased buffers
+    peak = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+            + mem.temp_size_in_bytes - mem.alias_size_in_bytes)
+    row["peak_gb"] = round(peak / 2 ** 30, 2)
+    if hbm_bytes:
+        row["headroom_frac"] = round(1.0 - peak / hbm_bytes, 3)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recipes", default=None,
+                    help="comma-separated label filter")
+    args = ap.parse_args()
+    import jax
+
+    dev = jax.devices()[0]
+    hbm = getattr(dev, "memory_stats", lambda: None)()
+    hbm_bytes = (hbm or {}).get("bytes_limit", 0)
+    print(f"device: {dev}  HBM limit: "
+          f"{hbm_bytes / 2 ** 30:.1f} GiB" if hbm_bytes else f"device: {dev}")
+    failed_shipped = 0
+    for label, B, T, remat, shipped in RECIPES:
+        if args.recipes and label not in args.recipes.split(","):
+            continue
+        row = audit_one(label, B, T, remat, hbm_bytes)
+        row["shipped"] = shipped
+        print(json.dumps(row))
+        if shipped and not row["ok"]:
+            failed_shipped += 1
+    print(f"{'AUDIT FAIL' if failed_shipped else 'AUDIT OK'}: "
+          f"{failed_shipped} shipped recipes failed to compile")
+    sys.exit(1 if failed_shipped else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,12 +37,127 @@ def group_key(name: str) -> str:
     return f"{base:<28} {shape}"
 
 
+# ---- --hlo region attribution (VERDICT r3 #3: full attribution) ---------
+
+_HLO_INSTR_RX = re.compile(r"^\s*(?:ROOT\s+)?(%[\w.\-]+)\s*=\s*\S+\s+([\w-]+)\(")
+_HLO_COMP_RX = re.compile(r"^(?:ENTRY\s+)?(%[\w.\-]+)\s+\([^)]*\)\s*->")
+_HLO_META_SRC = re.compile(r'source_file="([^"]+)"\s+source_line=(\d+)')
+_HLO_META_OP = re.compile(r'op_name="([^"]+)"')
+_HLO_CALLS = re.compile(r"calls=(%[\w.\-]+)")
+
+
+def parse_hlo_instrs(path):
+    """instr-name (no %) -> (opcode, source 'file:line', op_name scope).
+
+    Fusions are resolved THROUGH their called computation: the
+    representative is the body's first convolution/dot/custom-call (the
+    GEMM/kernel, not whichever tuple element happens to be the root) —
+    this is the fix for docs/SOL_TRAIN.md methodology trap #2."""
+    comp_members = collections.defaultdict(list)
+    info = {}
+    cur = None
+    with open(path) as f:
+        for line in f:
+            cm = _HLO_COMP_RX.match(line)
+            if cm:
+                cur = cm.group(1)
+                continue
+            im = _HLO_INSTR_RX.match(line)
+            if not im:
+                continue
+            name, opcode = im.group(1), im.group(2)
+            sm = _HLO_META_SRC.search(line)
+            src = f"{sm.group(1).split('/')[-1]}:{sm.group(2)}" if sm else ""
+            om = _HLO_META_OP.search(line)
+            opn = om.group(1) if om else ""
+            callee = None
+            if opcode == "fusion":
+                cl = _HLO_CALLS.search(line)
+                callee = cl.group(1) if cl else None
+            info[name.lstrip("%")] = (opcode, src, opn, callee)
+            if cur:
+                comp_members[cur].append((opcode, src, opn))
+
+    def representative(callee):
+        mems = comp_members.get(callee, [])
+        for want in ("convolution", "dot", "custom-call"):
+            for opcode, src, opn in mems:
+                if opcode == want and (src or opn):
+                    return src, opn
+        for opcode, src, opn in mems:
+            if src or opn:
+                return src, opn
+        return "", ""
+
+    out = {}
+    for name, (opcode, src, opn, callee) in info.items():
+        if callee:
+            rsrc, ropn = representative(callee)
+            src, opn = rsrc or src, ropn or opn
+        out[name] = (opcode, src, opn)
+    return out
+
+
+# ordered scope rules (first match wins), then source-file fallback
+_SCOPE_RULES = [
+    ("/attn/", "swin-attn"),
+    ("window_attention", "swin-attn"),
+    ("attn_block", "swin-attn"),
+    ("/mlp/", "swin-mlp"),
+    ("mlp_block", "swin-mlp"),
+    ("/backbone", "swin-glue"),
+    ("SwinTransformer3D", "swin-glue"),
+    ("text_bert", "bert"),
+    ("BertFromPretrained", "bert"),
+    ("fusion", "fusion-tower"),
+    ("CrossModal", "fusion-tower"),
+    ("_head", "heads+losses"),
+    ("nce", "heads+losses"),
+    ("mlm", "heads+losses"),
+    ("loss", "heads+losses"),
+    ("adam", "optimizer"),
+    ("opt_state", "optimizer"),
+    ("global_norm", "optimizer"),
+    ("clip_by", "optimizer"),
+    ("preprocess", "preprocess"),
+]
+_FILE_RULES = [
+    ("window_attention.py", "swin-attn"), ("attn_block.py", "swin-attn"),
+    ("mlp_block.py", "swin-mlp"), ("swin3d.py", "swin-glue"),
+    ("layer_norm.py", "layernorm"), ("bert.py", "bert"),
+    ("fusion.py", "fusion-tower"), ("heads.py", "heads+losses"),
+    ("objectives.py", "heads+losses"), ("contrastive.py", "heads+losses"),
+    ("classification.py", "heads+losses"), ("transform.py", "optimizer"),
+    ("_src/base.py", "optimizer"), ("steps.py", "optimizer"),
+    ("preprocess.py", "preprocess"),
+]
+
+
+def region_of(opcode: str, src: str, opn: str) -> str:
+    hay = opn.lower()
+    for needle, region in _SCOPE_RULES:
+        if needle.lower() in hay:
+            return region
+    for needle, region in _FILE_RULES:
+        if needle in src:
+            return region
+    if opcode in ("copy", "copy-start", "copy-done", "bitcast", "transpose",
+                  "reshape"):
+        return "copies/relayout"
+    return f"UNATTRIBUTED({src or opcode})"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--cat", default=None,
                     help="only ops whose profile_bench category matches")
+    ap.add_argument("--hlo", default=None,
+                    help="optimized HLO text of the SAME program "
+                         "(BENCH_DUMP_HLO): adds per-region attribution")
+    ap.add_argument("--min-ms", type=float, default=0.5,
+                    help="list unattributed families above this size")
     args = ap.parse_args()
 
     from jax.profiler import ProfileData
@@ -52,8 +167,11 @@ def main():
         raise SystemExit(f"no .xplane.pb under {args.trace_dir}")
     pd = ProfileData.from_file(paths[-1])
 
+    hlo_map = parse_hlo_instrs(args.hlo) if args.hlo else None
     per_group = collections.Counter()
     group_count = collections.Counter()
+    per_region = collections.Counter()
+    region_of_group = {}
     total = 0
     for plane in _device_planes(pd):
         for line in plane.lines:
@@ -71,11 +189,34 @@ def main():
                 k = f"[{cat[:12]:<12}] {group_key(ev.name)}"
                 per_group[k] += ev.duration_ns
                 group_count[k] += 1
+                if hlo_map is not None:
+                    instr = ev.name.lstrip("%").split(" ")[0]
+                    opcode, src, opn = hlo_map.get(instr, ("", "", ""))
+                    reg = region_of(opcode or instr.split(".")[0], src, opn)
+                    per_region[reg] += ev.duration_ns
+                    region_of_group.setdefault(k, reg)
     print(f"total real device time {total / 1e6:.2f} ms "
           f"(async wait spans excluded)")
     for k, ns in per_group.most_common(args.top):
+        reg = f" -> {region_of_group[k]}" if k in region_of_group else ""
         print(f"  {k[:100]:<100} {ns / 1e6:9.2f} ms {100 * ns / total:5.1f}% "
-              f" x{group_count[k]}")
+              f" x{group_count[k]}{reg}")
+    if hlo_map is not None:
+        print("\n== region attribution ==")
+        unattr = 0
+        for reg, ns in per_region.most_common():
+            if reg.startswith("UNATTRIBUTED"):
+                unattr += ns
+            print(f"  {reg:<40} {ns / 1e6:9.2f} ms {100 * ns / total:5.1f}%")
+        print(f"\nunattributed: {unattr / 1e6:.2f} ms "
+              f"({100 * unattr / max(total, 1):.1f}% — target <=5%)")
+        big_unattr = [(k, ns) for k, ns in per_group.items()
+                      if region_of_group.get(k, "").startswith("UNATTRIBUTED")
+                      and ns / 1e6 >= args.min_ms]
+        if big_unattr:
+            print(f"unattributed families >= {args.min_ms} ms:")
+            for k, ns in sorted(big_unattr, key=lambda kv: -kv[1]):
+                print(f"  {k[:100]:<100} {ns / 1e6:9.2f} ms")
 
 
 if __name__ == "__main__":
