@@ -1079,6 +1079,14 @@ _BWD_F32 = _os.environ.get("CLOVER_MLP_BWD_F32", "0") == "1"
 # already carries. 'f32' restores the exact-recompute crossings.
 _BWD_HBM_BF16 = _os.environ.get("CLOVER_MLP_BWD_HBM", "f32") != "f32"
 
+# CLOVER_MLP_BWD_BARRIER=1: materialize the incoming cotangent (and x)
+# row-major before the backward math. The r4 train trace shows XLA fusing
+# the upstream window-permutation into EVERY bwd consumer — the db/dscale
+# reduces read an 8-D (32,1,4,2,7,2,7,C) f32 layout at ~110 GB/s (~0.47
+# ms each, ~9 ms/step total). An optimization_barrier forces one clean
+# row-major materialization instead of N permuted passes.
+_BWD_BARRIER = _os.environ.get("CLOVER_MLP_BWD_BARRIER", "0") == "1"
+
 
 def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
     """Explicit recompute backward with bf16 GEMM operands throughout.
@@ -1096,6 +1104,8 @@ def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
     """
     dt = x.dtype
     f32 = jnp.float32
+    if _BWD_BARRIER:
+        x, g = jax.lax.optimization_barrier((x, g))
     x32 = x.astype(f32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     xc = x32 - mean

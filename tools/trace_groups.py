@@ -39,7 +39,11 @@ def group_key(name: str) -> str:
 
 # ---- --hlo region attribution (VERDICT r3 #3: full attribution) ---------
 
-_HLO_INSTR_RX = re.compile(r"^\s*(?:ROOT\s+)?(%[\w.\-]+)\s*=\s*\S+\s+([\w-]+)\(")
+# result types may be TUPLES ((f32[512]{...}, bf16[...]) fusion(...)) —
+# match the opcode as the first word( after a closing bracket+space, not
+# a single \S+ type token (multi-output fusions were missed otherwise)
+_HLO_INSTR_RX = re.compile(
+    r"^\s*(?:ROOT\s+)?(%[\w.\-]+)\s*=\s*.+?[)\}\]]\s+([a-z][\w\-]*)\(")
 _HLO_COMP_RX = re.compile(r"^(?:ENTRY\s+)?(%[\w.\-]+)\s+\([^)]*\)\s*->")
 _HLO_META_SRC = re.compile(r'source_file="([^"]+)"\s+source_line=(\d+)')
 _HLO_META_OP = re.compile(r'op_name="([^"]+)"')
@@ -105,10 +109,17 @@ _SCOPE_RULES = [
     ("attn_block", "swin-attn"),
     ("/mlp/", "swin-mlp"),
     ("mlp_block", "swin-mlp"),
+    ("_mlp_half", "swin-mlp"),
+    ("norm2", "swin-mlp"),
+    ("_fused_resident_half", "swin-attn"),
+    ("_fused_attn_half", "swin-attn"),
+    ("norm1", "swin-attn"),
     ("/backbone", "swin-glue"),
     ("SwinTransformer3D", "swin-glue"),
     ("text_bert", "bert"),
+    ("text_backbone", "bert"),
     ("BertFromPretrained", "bert"),
+    ("multimodal_backbone", "fusion-tower"),
     ("fusion", "fusion-tower"),
     ("CrossModal", "fusion-tower"),
     ("_head", "heads+losses"),
@@ -129,7 +140,10 @@ _FILE_RULES = [
     ("objectives.py", "heads+losses"), ("contrastive.py", "heads+losses"),
     ("classification.py", "heads+losses"), ("transform.py", "optimizer"),
     ("_src/base.py", "optimizer"), ("steps.py", "optimizer"),
-    ("preprocess.py", "preprocess"),
+    ("preprocess.py", "preprocess"), ("pretrain.py", "model-glue"),
+    ("finetune.py", "model-glue"), ("layers.py", "model-glue"),
+    ("linear_algebra.py", "optimizer"), ("numerics.py", "optimizer"),
+    ("stochastic.py", "dropout-rng"), ("bench.py", "bench-harness"),
 ]
 
 
@@ -144,6 +158,8 @@ def region_of(opcode: str, src: str, opn: str) -> str:
     if opcode in ("copy", "copy-start", "copy-done", "bitcast", "transpose",
                   "reshape"):
         return "copies/relayout"
+    if opcode == "rng-bit-generator":
+        return "dropout-rng"
     return f"UNATTRIBUTED({src or opcode})"
 
 
