@@ -112,12 +112,14 @@ _MLP_VMEM_BUDGET = int(_os.environ.get("CLOVER_MLP_VMEM_MB", "14")) * 2 ** 20
 
 
 def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
-                budget: int = None):
+                budget: int = None, mask: bool = False):
     """(R, Hc): row block and hidden chunk fitting VMEM (weights are
     double-buffered by Mosaic; activations live once per step).
 
     Prefers the combination with the largest row block (MXU pipelining
-    over M), breaking ties toward larger hidden chunks (fewer passes)."""
+    over M), breaking ties toward larger hidden chunks (fewer passes).
+    ``mask``: the dropout-mask variant streams an extra (R, C) f32 block
+    (compile-OOMs by ~1 MB at BERT shapes if uncounted — r4)."""
     if budget is None:
         budget = _MLP_VMEM_BUDGET
     if _TILE_OVERRIDE:
@@ -132,7 +134,8 @@ def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
             act = (R * C * itemsize            # x block
                    + 2 * R * C * 4             # x fp32 + acc fp32
                    + R * Hc * 4                # hidden fp32
-                   + R * C * itemsize)         # out
+                   + R * C * itemsize          # out
+                   + (2 * R * C * 4 if mask else 0))  # mask f32, 2 buffers
             if weights + act <= budget:
                 if R > best[0] or (R == best[0] and Hc > best[1]):
                     best = (R, Hc)
@@ -366,9 +369,7 @@ def _forward_postln_mask(x, scale, bias, w1, b1, w2, b2, m, eps):
                                           m, eps)
     rows, C = x.shape
     H = w1.shape[1]
-    # the f32 mask block adds R*C*4 to the picker's activation budget —
-    # covered by the same term the fp32-x block already accounts for
-    R, Hc = _pick_tiles(rows, C, H, x.dtype.itemsize)
+    R, Hc = _pick_tiles(rows, C, H, x.dtype.itemsize, mask=True)
     if R == 0:
         return _xla_reference_postln_mask(x, scale, bias, w1, b1, w2, b2,
                                           m, eps)

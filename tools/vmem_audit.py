@@ -141,6 +141,67 @@ def audit_one(label, Bn, nH, N, nW, force_fused=False):
     return rows
 
 
+# MLP kernel shapes: Swin stage halves (rows = Bn*N at B=16 2-stream) +
+# the BERT/fusion tower rows (the postln-dropout VMEM OOM of r4 lived at
+# the 480x768x3072 BERT shape — uncounted mask block)
+MLP_SHAPES = [
+    ("swin-s0", 401408, 128, 512),
+    ("swin-s2", 25088, 512, 2048),
+    ("swin-s3", 6272, 1024, 4096),
+    ("bert", 480, 768, 3072),
+    ("fusion", 3616, 768, 3072),
+]
+
+
+def audit_mlp():
+    import jax
+    import jax.numpy as jnp
+
+    import clover_tpu.ops.mlp_block as mb
+
+    rng = np.random.default_rng(0)
+    rows_out = []
+    for label, rows, C, H in MLP_SHAPES:
+        x = _mk(rng, rows, C)
+        f32 = np.float32
+        scale = jnp.asarray(rng.normal(size=C).astype(f32))
+        bias = jnp.asarray(rng.normal(size=C).astype(f32) * 0.1)
+        w1 = jnp.asarray(rng.normal(size=(C, H)).astype(f32) * 0.05)
+        b1 = jnp.zeros((H,), jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(H, C)).astype(f32) * 0.05)
+        b2 = jnp.zeros((C,), jnp.float32)
+        m = jnp.ones((rows, C), jnp.float32)
+        pick = mb._pick_tiles(rows, C, H, 2)
+        pick_m = mb._pick_tiles(rows, C, H, 2, mask=True)
+
+        def try_one(name, pick, fn, *args):
+            if not pick or not pick[0]:
+                rows_out.append((f"{label}:{name}", pick,
+                                 "skipped (predicted infeasible)"))
+                return
+            try:
+                jax.jit(fn).lower(*args).compile()
+                rows_out.append((f"{label}:{name}", pick, "ok"))
+            except Exception as e:
+                msg = str(e).splitlines()
+                key = next((l for l in msg if "vmem" in l.lower()
+                            or "exceeds" in l.lower()),
+                           msg[0] if msg else "?")
+                rows_out.append((f"{label}:{name}", pick,
+                                 f"FAIL: {key[:120]}"))
+
+        try_one("preln", pick,
+                lambda xx: mb.fused_ln_mlp_residual(
+                    xx, scale, bias, w1, b1, w2, b2), x)
+        try_one("postln", pick,
+                lambda xx: mb.fused_mlp_postln(
+                    xx, scale, bias, w1, b1, w2, b2), x)
+        try_one("postln-dropout", pick_m,
+                lambda xx: mb.fused_mlp_postln_dropout(
+                    xx, scale, bias, w1, b1, w2, b2, m), x)
+    return rows_out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default=None,
@@ -159,6 +220,12 @@ def main():
             continue
         print(f"\n== {label}: Bn={Bn} nH={nH} N={N} nW={nW} ==")
         for name, pick, status in audit_one(label, Bn, nH, N, nW):
+            print(f"  {name:<22} pick={str(pick):<10} {status}")
+            if status.startswith("FAIL"):
+                failed += 1
+    if not args.shapes:
+        print("\n== MLP kernels ==")
+        for name, pick, status in audit_mlp():
             print(f"  {name:<22} pick={str(pick):<10} {status}")
             if status.startswith("FAIL"):
                 failed += 1
