@@ -1077,16 +1077,21 @@ _BWD_F32 = _os.environ.get("CLOVER_MLP_BWD_F32", "0") == "1"
 # and read by two consumer GEMM fusions); 'bf16' casts them at the fusion
 # root so half the bytes cross HBM. Extra bf16 rounding on z before
 # gelu/gelu' is the same order as the bf16 dot-input rounding the forward
-# already carries. 'f32' restores the exact-recompute crossings.
-_BWD_HBM_BF16 = _os.environ.get("CLOVER_MLP_BWD_HBM", "f32") != "f32"
+# already carries (knob-on parity pinned at 1.5e-2 normalized in
+# tests/test_mlp_block_kernel.py). Default ON since r4: pretrain train
+# 61.94 -> 64.20 clips/s alone, 65.62 composed with the barrier below
+# (B=16, v5e). CLOVER_MLP_BWD_HBM=f32 restores exact-recompute crossings.
+_BWD_HBM_BF16 = _os.environ.get("CLOVER_MLP_BWD_HBM", "bf16") != "f32"
 
-# CLOVER_MLP_BWD_BARRIER=1: materialize the incoming cotangent (and x)
-# row-major before the backward math. The r4 train trace shows XLA fusing
-# the upstream window-permutation into EVERY bwd consumer — the db/dscale
-# reduces read an 8-D (32,1,4,2,7,2,7,C) f32 layout at ~110 GB/s (~0.47
-# ms each, ~9 ms/step total). An optimization_barrier forces one clean
-# row-major materialization instead of N permuted passes.
-_BWD_BARRIER = _os.environ.get("CLOVER_MLP_BWD_BARRIER", "0") == "1"
+# Materialize the incoming cotangent (and x) row-major before the
+# backward math. The r4 train trace shows XLA fusing the upstream
+# window-permutation into EVERY bwd consumer — the db/dscale reduces read
+# an 8-D (32,1,4,2,7,2,7,C) f32 layout at ~110 GB/s (~0.47 ms each, ~9
+# ms/step total). An optimization_barrier forces one clean row-major
+# materialization instead of N permuted passes; numerically an identity.
+# Default ON since r4: 61.94 -> 63.36 alone, 65.62 composed with the
+# bf16-HBM knob (B=16, v5e). CLOVER_MLP_BWD_BARRIER=0 disables.
+_BWD_BARRIER = _os.environ.get("CLOVER_MLP_BWD_BARRIER", "1") == "1"
 
 
 def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):

@@ -243,12 +243,15 @@ def test_explicit_backward_matches_f32_vjp(mode, with_rs):
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_explicit_postln_backward_matches_f32_vjp(dtype):
+def test_explicit_postln_backward_matches_f32_vjp(dtype, monkeypatch):
     """The post-LN (BERT/fusion) explicit bf16-operand backward must match
     the f32-cotangent vjp to bf16-rounding tolerance (same contract as the
     pre-LN _xla_backward test above). bf16 inputs exercise the astype(dt)
     casts this backward exists for (f32 makes them no-ops); tolerance is
-    per-dtype (bf16 measures ~0.6% normalized — rounding, not math)."""
+    per-dtype (bf16 measures ~0.6% normalized — rounding, not math).
+    Pins the exact-recompute branch (knob-off); the now-default bf16-HBM
+    branch is covered at its own tolerance by test_bwd_hbm_bf16_knob_parity."""
+    monkeypatch.setattr(MB, "_BWD_HBM_BF16", False)
     rng = np.random.default_rng(11)
     rows, C, H = 48, 64, 256
     x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
@@ -457,7 +460,10 @@ def test_postln_dropout_equals_unfused_bertlayer_math():
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_postln_dropout_backward_matches_f32_vjp(dtype):
+def test_postln_dropout_backward_matches_f32_vjp(dtype, monkeypatch):
+    # Exact-recompute branch pinned (knob-off); the default bf16-HBM branch
+    # has its own tolerance in test_bwd_hbm_bf16_knob_parity.
+    monkeypatch.setattr(MB, "_BWD_HBM_BF16", False)
     rng = np.random.default_rng(29)
     rows, C, H = 40, 64, 256
     x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(dtype)
