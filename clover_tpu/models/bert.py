@@ -128,9 +128,15 @@ import os as _os
 # fuse the post-LN MLP half LN(x + fc2(gelu(fc1(x)))) into one Pallas
 # kernel on deterministic (fwd-only) passes; CLOVER_BERT_MLP=xla opts out
 _BERT_FUSED_MLP = _os.environ.get("CLOVER_BERT_MLP", "pallas") != "xla"
-# TRAIN-pass fused MLP (dropout rides as a mask arg). Opt-in until the
-# on-chip A/B lands; see fused_mlp_postln_dropout.
-_BERT_FUSED_MLP_TRAIN = _os.environ.get("CLOVER_BERT_MLP_TRAIN", "0") == "1"
+# TRAIN-pass fused MLP (dropout rides as a mask arg; see
+# fused_mlp_postln_dropout). '1' = every tower; 'auto' = only layers
+# with >= _FUSED_TRAIN_MIN_ROWS tokens (the r4 all-towers A/B measured
+# 62.6 vs 64.2 clips/s — the B*L=480-row text towers are too small to
+# amortize the kernel's VMEM staging vs XLA's free fusion; the fusion
+# towers run ~7.6x more rows per layer). '0' disables (default until the
+# auto-gate A/B lands).
+_BERT_FUSED_MLP_TRAIN = _os.environ.get("CLOVER_BERT_MLP_TRAIN", "0")
+_FUSED_TRAIN_MIN_ROWS = 2048
 
 
 class BertLayer(nn.Module):
@@ -151,8 +157,11 @@ class BertLayer(nn.Module):
         x = layer_norm(eps=cfg.layer_norm_eps, dtype=self.dtype,
                        name="attention_norm")(x + attn, deterministic)
 
+        ft = _BERT_FUSED_MLP_TRAIN
         use_fused_train = (not deterministic and _BERT_FUSED_MLP
-                           and _BERT_FUSED_MLP_TRAIN)
+                           and (ft in ("1", True)
+                                or (ft == "auto" and x.shape[0] * x.shape[1]
+                                    >= _FUSED_TRAIN_MIN_ROWS)))
         if (deterministic and _BERT_FUSED_MLP) or use_fused_train:
             from clover_tpu.models.layers import DenseParams, LayerNormParams
             from clover_tpu.ops.mlp_block import (fused_mlp_postln,

@@ -546,3 +546,45 @@ def test_bertlayer_fused_train_dropout_stats(monkeypatch):
     err_one = np.abs(outs[0] - det).mean()
     err_avg = np.abs(np.mean(outs, axis=0) - det).mean()
     assert err_avg < err_one * 0.6
+
+
+def test_bertlayer_fused_train_auto_row_gate(monkeypatch):
+    """CLOVER_BERT_MLP_TRAIN=auto takes the fused dropout kernel only for
+    layers with >= _FUSED_TRAIN_MIN_ROWS tokens (fusion towers), leaving
+    small text-tower layers on the unfused flax path (the r4 all-towers
+    A/B measured the small shapes to lose — bert.py gate comment)."""
+    import clover_tpu.models.bert as bert_mod
+    import clover_tpu.ops.mlp_block as MBmod
+    from clover_tpu.models.bert import BertConfig, BertLayer
+
+    calls = []
+    real = MBmod.fused_mlp_postln_dropout
+
+    def spy(*a, **k):
+        calls.append(a[0].shape)
+        return real(*a, **k)
+
+    monkeypatch.setattr(MBmod, "fused_mlp_postln_dropout", spy)
+    monkeypatch.setattr(bert_mod, "_BERT_FUSED_MLP_TRAIN", "auto")
+    monkeypatch.setattr(bert_mod, "_FUSED_TRAIN_MIN_ROWS", 64)
+
+    cfg = BertConfig(hidden_size=32, num_attention_heads=2,
+                     intermediate_size=64, num_hidden_layers=1,
+                     hidden_dropout=0.1, attention_dropout=0.0)
+    rng = np.random.default_rng(41)
+    layer = BertLayer(cfg)
+
+    # 4*32 = 128 rows >= 64 -> fused
+    x_big = jnp.asarray(rng.normal(size=(4, 32, 32)).astype(np.float32))
+    bias_big = jnp.zeros((4, 1, 1, 32), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x_big, bias_big)
+    layer.apply(params, x_big, bias_big, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+    assert calls == [(128, 32)]
+
+    # 2*10 = 20 rows < 64 -> unfused flax path (no new spy call)
+    x_small = jnp.asarray(rng.normal(size=(2, 10, 32)).astype(np.float32))
+    bias_small = jnp.zeros((2, 1, 1, 10), jnp.float32)
+    layer.apply(params, x_small, bias_small, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(1)})
+    assert calls == [(128, 32)]
