@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -129,7 +130,11 @@ def bench_finetune():
     state = TrainState.create(params, tx)
     step = make_retrieval_train_step(model, jit=False, grad_clip_norm=15.0)
 
-    @jax.jit
+    # donate_argnums=0 matches the production step's donation
+    # (engine/steps.py) — without it the bench holds a SECOND copy of the
+    # ~3 GB params+opt state live across the call, understating the
+    # feasible batch/remat frontier vs the real trainer.
+    @partial(jax.jit, donate_argnums=0)
     def run_all(state, batches, key):
         def body(state, batch):
             state, metrics = step(state, batch, key)
@@ -143,8 +148,9 @@ def bench_finetune():
     np.asarray(losses)
 
     def timed():
+        nonlocal state  # donated: chain the carried state across runs
         t0 = time.time()
-        _, losses = run_all(state, batches, key)
+        state, losses = run_all(state, batches, key)
         np.asarray(losses)
         return time.time() - t0
 
@@ -426,7 +432,11 @@ def bench_train():
     state = TrainState.create(params, tx)
     step = make_pretrain_train_step(model, jit=False, grad_clip_norm=15.0)
 
-    @jax.jit
+    # donate_argnums=0: see the finetune mode's note — matches the
+    # production step's donation (engine/steps.py), frees ~3 GB of
+    # duplicated params+opt state, and moves the OOM frontier to where
+    # the real trainer's sits.
+    @partial(jax.jit, donate_argnums=0)
     def run_all(state, batches, key):
         def body(state, batch):
             state, metrics = step(state, batch, key)
@@ -451,8 +461,9 @@ def bench_train():
         jax.profiler.start_trace(trace_dir)
 
     def timed():
+        nonlocal state  # donated: chain the carried state across runs
         t0 = time.time()
-        _, losses = run_all(state, batches, key)
+        state, losses = run_all(state, batches, key)
         losses = np.asarray(losses)
         assert np.all(np.isfinite(losses))
         return time.time() - t0
