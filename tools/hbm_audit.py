@@ -30,10 +30,12 @@ import numpy as np  # noqa: E402
 # document where the cliff sits this round (BASELINE.md r3/r4 sweeps)
 RECIPES = [
     ("8f-B16", 16, 8, False, True),          # pretrain train recipe
-    ("8f-B24", 24, 8, False, False),         # fits post-r3 (58.7 clips/s)
+    ("8f-B24", 24, 8, False, False),         # r4: scoped-VMEM picker boundary
     ("8f-B32", 32, 8, False, False),         # OOM boundary (r2/r3 sweeps)
-    ("32f-B4", 4, 32, False, True),          # 32-frame recipe
-    ("32f-B8-remat01", 8, 32, (0, 1), False),  # the r3 regression shape
+    ("32f-B4", 4, 32, False, True),          # 32-frame fallback recipe
+    ("32f-B8-remat01", 8, 32, (0, 1), True),  # 32-frame recipe since r4
+    # (fits under the production step's donation; the non-donated r3
+    # bench scan OOM'd here — BASELINE.md 2026-08-20)
 ]
 
 
