@@ -463,6 +463,11 @@ def bench_train():
     def timed():
         nonlocal state  # donated: chain the carried state across runs
         t0 = time.time()
+        # rebind state BEFORE the finiteness assert: with donate_argnums the
+        # old state buffers are consumed by the call, so raising between the
+        # call and the rebind would leave `state` pointing at deleted buffers
+        # (benign while the assert aborts the script, but kept safe in case
+        # error handling is ever added around timed())
         state, losses = run_all(state, batches, key)
         losses = np.asarray(losses)
         assert np.all(np.isfinite(losses))

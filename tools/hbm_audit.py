@@ -30,7 +30,9 @@ import numpy as np  # noqa: E402
 # document where the cliff sits this round (BASELINE.md r3/r4 sweeps)
 RECIPES = [
     ("8f-B16", 16, 8, False, True),          # pretrain train recipe
-    ("8f-B24", 24, 8, False, False),         # r4: scoped-VMEM picker boundary
+    ("8f-B24", 24, 8, False, False),         # r4: scoped-VMEM boundary in the
+    # full B=24 scan program (XLA output-in-VMEM placement effect, NOT the
+    # kernel picker — see BASELINE.md); the single-step compile here may pass
     ("8f-B32", 32, 8, False, False),         # OOM boundary (r2/r3 sweeps)
     ("32f-B4", 4, 32, False, True),          # 32-frame fallback recipe
     ("32f-B8-remat01", 8, 32, (0, 1), True),  # 32-frame recipe since r4
