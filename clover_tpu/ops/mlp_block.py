@@ -65,15 +65,20 @@ def _resolve_gelu(mode: str) -> str:
 
 def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
             acc_ref, *, eps: float, n_chunks: int, gelu_mode: str = "erf",
-            rs_ref=None):
+            rs_ref=None, z_ref=None, mean_ref=None, inv_ref=None):
     j = pl.program_id(1)
     x = x_ref[:].astype(jnp.float32)                       # (R, C)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = xc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
+    inv = jax.lax.rsqrt(var + eps)
+    xn = xc * inv * s_ref[:] + b_ref[:]
     h = jnp.dot(xn.astype(x_ref.dtype), w1_ref[:],
                 preferred_element_type=jnp.float32) + b1_ref[:]
+    if z_ref is not None:
+        # stash mode (CLOVER_MLP_STASH): emit the pre-gelu hidden chunk +
+        # LN stats so the backward skips the LN+fc1 recompute GEMM
+        z_ref[:] = h.astype(z_ref.dtype)
     h = _gelu(h, gelu_mode)
     y = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
                 preferred_element_type=jnp.float32)        # (R, C)
@@ -81,6 +86,9 @@ def _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
     @pl.when(j == 0)
     def _():
         acc_ref[:] = y
+        if mean_ref is not None:
+            mean_ref[:] = mean
+            inv_ref[:] = inv
 
     @pl.when(j > 0)
     def _():
@@ -103,6 +111,22 @@ def _kernel_scaled(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             rs_ref=rs_ref)
 
 
+def _kernel_stash(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  out_ref, z_ref, mean_ref, inv_ref, acc_ref, *, eps,
+                  n_chunks, gelu_mode="erf"):
+    _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+            acc_ref, eps=eps, n_chunks=n_chunks, gelu_mode=gelu_mode,
+            z_ref=z_ref, mean_ref=mean_ref, inv_ref=inv_ref)
+
+
+def _kernel_stash_scaled(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                         rs_ref, out_ref, z_ref, mean_ref, inv_ref, acc_ref,
+                         *, eps, n_chunks, gelu_mode="erf"):
+    _kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+            acc_ref, eps=eps, n_chunks=n_chunks, gelu_mode=gelu_mode,
+            rs_ref=rs_ref, z_ref=z_ref, mean_ref=mean_ref, inv_ref=inv_ref)
+
+
 import os as _os
 
 _TILE_OVERRIDE = _os.environ.get("CLOVER_MLP_TILES")  # "R,Hc" experiment knob
@@ -112,14 +136,16 @@ _MLP_VMEM_BUDGET = int(_os.environ.get("CLOVER_MLP_VMEM_MB", "14")) * 2 ** 20
 
 
 def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
-                budget: int = None, mask: bool = False):
+                budget: int = None, mask: bool = False, stash: bool = False):
     """(R, Hc): row block and hidden chunk fitting VMEM (weights are
     double-buffered by Mosaic; activations live once per step).
 
     Prefers the combination with the largest row block (MXU pipelining
     over M), breaking ties toward larger hidden chunks (fewer passes).
     ``mask``: the dropout-mask variant streams an extra (R, C) f32 block
-    (compile-OOMs by ~1 MB at BERT shapes if uncounted — r4)."""
+    (compile-OOMs by ~1 MB at BERT shapes if uncounted — r4).
+    ``stash``: the z-stash variant writes an extra (R, Hc) hidden output
+    block (double-buffered)."""
     if budget is None:
         budget = _MLP_VMEM_BUDGET
     if _TILE_OVERRIDE:
@@ -135,7 +161,8 @@ def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
                    + 2 * R * C * 4             # x fp32 + acc fp32
                    + R * Hc * 4                # hidden fp32
                    + R * C * itemsize          # out
-                   + (2 * R * C * 4 if mask else 0))  # mask f32, 2 buffers
+                   + (2 * R * C * 4 if mask else 0)   # mask f32, 2 buffers
+                   + (2 * R * Hc * itemsize if stash else 0))  # z out x2buf
             if weights + act <= budget:
                 if R > best[0] or (R == best[0] and Hc > best[1]):
                     best = (R, Hc)
@@ -490,33 +517,40 @@ fused_mlp_postln_dropout.defvjp(_fwd_postln_mask, _bwd_postln_mask)
 
 
 def _xla_reference(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
-                   gelu_mode="erf"):
+                   gelu_mode="erf", want_stash=False):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     xc = x32 - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    xn = xc * jax.lax.rsqrt(var + eps) * scale + bias
-    h = jnp.dot(xn.astype(x.dtype), w1.astype(x.dtype),
+    inv = jax.lax.rsqrt(var + eps)
+    xn = xc * inv * scale + bias
+    z = jnp.dot(xn.astype(x.dtype), w1.astype(x.dtype),
                 preferred_element_type=jnp.float32) + b1
-    h = jax.nn.gelu(h, approximate=(gelu_mode == "tanh"))
+    h = jax.nn.gelu(z, approximate=(gelu_mode == "tanh"))
     y = jnp.dot(h.astype(x.dtype), w2.astype(x.dtype),
                 preferred_element_type=jnp.float32) + b2
     if row_scale is not None:
         y = y * row_scale.astype(jnp.float32).reshape(-1, 1)
-    return (x32 + y).astype(x.dtype)
+    out = (x32 + y).astype(x.dtype)
+    if want_stash:
+        return out, (z.astype(x.dtype), mean, inv)
+    return out
 
 
 def _forward(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
-             gelu_mode="erf"):
+             gelu_mode="erf", want_stash=False):
     if not _on_tpu() and not _FORCE_PALLAS:
         return _xla_reference(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
-                              gelu_mode)
+                              gelu_mode, want_stash)
     rows, C = x.shape
     H = w1.shape[1]
-    R, Hc = _pick_tiles(rows, C, H, x.dtype.itemsize)
+    # pass stash= only when set (tests monkeypatch _pick_tiles with the
+    # positional signature)
+    R, Hc = (_pick_tiles(rows, C, H, x.dtype.itemsize, stash=True)
+             if want_stash else _pick_tiles(rows, C, H, x.dtype.itemsize))
     if R == 0:
         return _xla_reference(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
-                              gelu_mode)
+                              gelu_mode, want_stash)
     n_chunks = H // Hc
     f32 = jnp.float32
     in_specs = [
@@ -531,29 +565,47 @@ def _forward(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
     args = [x, scale.astype(f32).reshape(1, C), bias.astype(f32).reshape(1, C),
             w1.astype(x.dtype), b1.astype(f32).reshape(1, H),
             w2.astype(x.dtype), b2.astype(f32).reshape(1, C)]
-    kern = functools.partial(_kernel, eps=eps, n_chunks=n_chunks,
-                             gelu_mode=gelu_mode)
+    kern_kw = dict(eps=eps, n_chunks=n_chunks, gelu_mode=gelu_mode)
     if row_scale is not None:
         in_specs.append(pl.BlockSpec((R, 1), lambda i, j: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(row_scale.astype(f32).reshape(rows, 1))
-        kern = functools.partial(_kernel_scaled, eps=eps, n_chunks=n_chunks,
-                                 gelu_mode=gelu_mode)
+        kern = functools.partial(
+            _kernel_stash_scaled if want_stash else _kernel_scaled, **kern_kw)
+    else:
+        kern = functools.partial(
+            _kernel_stash if want_stash else _kernel, **kern_kw)
+    out_specs = pl.BlockSpec((R, C), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, C), x.dtype)
+    if want_stash:
+        rvec = pl.BlockSpec((R, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+        out_specs = (out_specs,
+                     pl.BlockSpec((R, Hc), lambda i, j: (i, j),
+                                  memory_space=pltpu.VMEM),
+                     rvec, rvec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((rows, H), x.dtype),
+                     jax.ShapeDtypeStruct((rows, 1), f32),
+                     jax.ShapeDtypeStruct((rows, 1), f32))
     out = pl.pallas_call(
         kern,
         grid=(pl.cdiv(rows, R), n_chunks),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((R, C), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((R, C), f32)],
         cost_estimate=pl.CostEstimate(
             flops=4 * rows * C * H,
-            bytes_accessed=(2 * rows * C + 2 * C * H) * x.dtype.itemsize,
+            bytes_accessed=(2 * rows * C + 2 * C * H) * x.dtype.itemsize
+            + (rows * H * x.dtype.itemsize if want_stash else 0),
             transcendentals=rows * H,
         ),
         interpret=not _on_tpu(),
     )(*args)
+    if want_stash:
+        return out[0], (out[1], out[2], out[3])
     return out
 
 
@@ -1051,9 +1103,14 @@ def fused_ln_mlp_residual(x, scale, bias, w1, b1, w2, b2, row_scale=None,
 
 
 def _fwd(x, scale, bias, w1, b1, w2, b2, row_scale, eps, gelu):
+    mode = _resolve_gelu(gelu)
+    if _STASH:
+        out, stash = _forward(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
+                              mode, want_stash=True)
+        return out, (x, scale, bias, w1, b1, w2, b2, row_scale, stash)
     return _forward(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
-                    _resolve_gelu(gelu)), (
-        x, scale, bias, w1, b1, w2, b2, row_scale)
+                    mode), (
+        x, scale, bias, w1, b1, w2, b2, row_scale, None)
 
 
 def _gelu_grad(z, mode: str):
@@ -1082,6 +1139,19 @@ _BWD_F32 = _os.environ.get("CLOVER_MLP_BWD_F32", "0") == "1"
 # 61.94 -> 64.20 clips/s alone, 65.62 composed with the barrier below
 # (B=16, v5e). CLOVER_MLP_BWD_HBM=f32 restores exact-recompute crossings.
 _BWD_HBM_BF16 = _os.environ.get("CLOVER_MLP_BWD_HBM", "bf16") != "f32"
+
+# Stash the forward's pre-gelu hidden (bf16) + LN stats as extra fwd-kernel
+# outputs and consume them in the backward instead of recomputing
+# LN+fc1 — removes the fc1 recompute GEMM (~1.3 TF/step on the B=16
+# pretrain step) and the LN-stats reduces from the backward at the cost
+# of an extra (rows, 4C) bf16 HBM write+read (+~3.2 GB step residency at
+# B=16 — fits; hbm_audit has headroom). Numerics: z crosses HBM as bf16,
+# the SAME rounding class as CLOVER_MLP_BWD_HBM=bf16 (and slightly
+# *closer* to the true forward, since the stashed z is the forward
+# kernel's f32 accumulation, not a recomputed GEMM). Meaningless under
+# remat (the fwd re-runs anyway); intended for the no-remat recipes.
+# VERDICT r4 item 1's untried lever. Default: see below after the A/B.
+_STASH = _os.environ.get("CLOVER_MLP_STASH", "0") == "1"
 
 # Materialize the incoming cotangent (and x) row-major before the
 # backward math. The r4 train trace shows XLA fusing the upstream
@@ -1165,9 +1235,69 @@ def _xla_backward(x, scale, bias, w1, b1, w2, b2, row_scale, eps, mode, g):
     return out + (drs.astype(row_scale.dtype),)
 
 
+def _xla_backward_stash(x, scale, bias, w1, b1, w2, b2, row_scale, stash,
+                        eps, mode, g):
+    """``_xla_backward`` with the forward's stashed z (bf16) + LN stats:
+    no fc1 recompute GEMM, no LN-stats reduces (xn_raw is one fused
+    multiply-add pass over x). Shares the bf16-operand convention and the
+    CLOVER_MLP_BWD_HBM semantics for the dh crossing (z itself is already
+    a bf16 crossing by construction)."""
+    z_bf, mean, inv = stash
+    dt = x.dtype
+    f32 = jnp.float32
+    if _BWD_BARRIER:
+        x, g, z_bf = jax.lax.optimization_barrier((x, g, z_bf))
+    x32 = x.astype(f32)
+    xn_raw = (x32 - mean) * inv
+    y_bf = (xn_raw * scale + bias).astype(dt)
+    w1_bf, w2_bf = w1.astype(dt), w2.astype(dt)
+    z = z_bf.astype(f32)
+    h = _gelu(z, mode)
+    h_bf = h.astype(dt)
+
+    g32 = g.astype(f32)
+    rs = (None if row_scale is None
+          else row_scale.astype(f32).reshape(-1, 1))
+    gy = g32 * rs if rs is not None else g32
+    gy_bf = gy.astype(dt)
+    dh = jax.lax.dot_general(gy_bf, w2_bf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    if _BWD_HBM_BF16:
+        dh = dh.astype(dt).astype(f32)
+    dz = dh * _gelu_grad(z, mode)
+    dz_bf = dz.astype(dt)
+    dy = jax.lax.dot_general(dz_bf, w1_bf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    dw1 = jax.lax.dot_general(y_bf, dz_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db1 = (jnp.sum(dz_bf.astype(f32), axis=0) if _BWD_HBM_BF16
+           else jnp.sum(dz, axis=0))
+    dw2 = jax.lax.dot_general(h_bf, gy_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)
+    db2 = jnp.sum(gy, axis=0)
+
+    dyt = dy * scale
+    m1 = jnp.mean(dyt, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyt * xn_raw, axis=-1, keepdims=True)
+    dx = inv * (dyt - m1 - xn_raw * m2) + g32
+    dscale = jnp.sum(dy * xn_raw, axis=0)
+    dbias = jnp.sum(dy, axis=0)
+    out = (dx.astype(dt), dscale.astype(scale.dtype),
+           dbias.astype(bias.dtype), dw1.astype(w1.dtype),
+           db1.astype(b1.dtype), dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    if rs is None:
+        return out + (None,)
+    mlp_out = jnp.dot(h_bf, w2_bf, preferred_element_type=f32) + b2
+    drs = jnp.sum(g32 * mlp_out, axis=-1).reshape(row_scale.shape)
+    return out + (drs.astype(row_scale.dtype),)
+
+
 def _bwd(eps, gelu, residuals, g):
-    x, scale, bias, w1, b1, w2, b2, row_scale = residuals
+    x, scale, bias, w1, b1, w2, b2, row_scale, stash = residuals
     mode = _resolve_gelu(gelu)
+    if stash is not None:
+        return _xla_backward_stash(x, scale, bias, w1, b1, w2, b2,
+                                   row_scale, stash, eps, mode, g)
     out = _backward_onepass(x, scale, bias, w1, b1, w2, b2, row_scale,
                             eps, mode, g)
     if out is not None:
