@@ -386,6 +386,12 @@ def bench_train():
     ITERS = int(os.environ.get("BENCH_ITERS", 8))
     ATTN = os.environ.get("BENCH_ATTN", "auto")
     S, L = 224, 30
+    if os.environ.get("BENCH_REMAT", "0") != "0":
+        # remat recipes: the fwd re-runs in the backward, so the MLP z-stash
+        # is pure extra traffic AND the extra residency HBM-OOMs the 32f
+        # B=8 remat-0,1 recipe (16.15G/15.75G measured r5). Read at trace
+        # time by ops/mlp_block.py; explicit env still wins.
+        os.environ.setdefault("CLOVER_MLP_STASH", "0")
 
     # remat sweep history: with the fused attention bwd kernel — full 40.4 /
     # selective stages 0-1 43.9-48.2 / none 45.3; after the grouped bwd

@@ -79,6 +79,14 @@ def build_model(model_cfg: Dict[str, Any]):
     mtype = cfg.pop("type")
     dtype = DTYPES[cfg.pop("dtype", "bfloat16")]
     swin = build_swin_config(cfg.pop("swin", {}))
+    if swin.use_checkpoint:
+        # remat recipes: the MLP z-stash backward (CLOVER_MLP_STASH, default
+        # on since r5) is pure extra traffic under remat and its residency
+        # HBM-OOMs memory-tight shapes (BASELINE.md r5) — default it off
+        # whenever the swin config remats; explicit env still wins.
+        import os
+
+        os.environ.setdefault("CLOVER_MLP_STASH", "0")
     text_bert = build_bert_config(cfg.pop("text_bert", {}))
     fusion = build_fusion_config(cfg.pop("fusion", {}), text_bert)
 

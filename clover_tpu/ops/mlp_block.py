@@ -148,6 +148,10 @@ def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
     block (double-buffered)."""
     if budget is None:
         budget = _MLP_VMEM_BUDGET
+    if stash:
+        # 25% headroom like _pick_tiles_bwd: Mosaic's true reservation ran
+        # ~18% above even the double-buffered model at the edge pick
+        budget = budget * 3 // 4
     if _TILE_OVERRIDE:
         r, hc = (int(v) for v in _TILE_OVERRIDE.split(","))
         return r, min(hc, H)
@@ -157,12 +161,27 @@ def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
             continue
         for R in (1024, 512, 256, 128, 64, 32, 16, 8):
             weights = 2 * (C * Hc + Hc * C) * itemsize     # w1+w2, 2 buffers
-            act = (R * C * itemsize            # x block
-                   + 2 * R * C * 4             # x fp32 + acc fp32
-                   + R * Hc * 4                # hidden fp32
-                   + R * C * itemsize          # out
-                   + (2 * R * C * 4 if mask else 0)   # mask f32, 2 buffers
-                   + (2 * R * Hc * itemsize if stash else 0))  # z out x2buf
+            if stash:
+                # The stash variant's z output pushes the kernel against the
+                # 16 MB scoped-VMEM limit, where the tuned non-stash formula's
+                # slack (it counts streamed x/out blocks once, not double-
+                # buffered) stops being safe — a (512, 1024) pick compile-
+                # OOM'd at 17.38M on the real chip (2026-08-21). Count every
+                # grid-streamed block at 2 buffers plus the f32 temps.
+                act = (2 * R * C * itemsize          # x, 2 buffers
+                       + 2 * R * C * itemsize        # out, 2 buffers
+                       + 2 * R * Hc * itemsize       # z out, 2 buffers
+                       + 2 * 2 * R * 128 * 4         # mean+inv, lane-padded
+                       + R * C * 4                   # x fp32
+                       + R * Hc * 4                  # hidden fp32
+                       + R * C * 4                   # y fp32
+                       + R * C * 4)                  # acc scratch
+            else:
+                act = (R * C * itemsize            # x block
+                       + 2 * R * C * 4             # x fp32 + acc fp32
+                       + R * Hc * 4                # hidden fp32
+                       + R * C * itemsize          # out
+                       + (2 * R * C * 4 if mask else 0))  # mask f32, 2 bufs
             if weights + act <= budget:
                 if R > best[0] or (R == best[0] and Hc > best[1]):
                     best = (R, Hc)
@@ -1104,7 +1123,7 @@ def fused_ln_mlp_residual(x, scale, bias, w1, b1, w2, b2, row_scale=None,
 
 def _fwd(x, scale, bias, w1, b1, w2, b2, row_scale, eps, gelu):
     mode = _resolve_gelu(gelu)
-    if _STASH:
+    if _stash_enabled():
         out, stash = _forward(x, scale, bias, w1, b1, w2, b2, row_scale, eps,
                               mode, want_stash=True)
         return out, (x, scale, bias, w1, b1, w2, b2, row_scale, stash)
@@ -1150,8 +1169,22 @@ _BWD_HBM_BF16 = _os.environ.get("CLOVER_MLP_BWD_HBM", "bf16") != "f32"
 # *closer* to the true forward, since the stashed z is the forward
 # kernel's f32 accumulation, not a recomputed GEMM). Meaningless under
 # remat (the fwd re-runs anyway); intended for the no-remat recipes.
-# VERDICT r4 item 1's untried lever. Default: see below after the A/B.
-_STASH = _os.environ.get("CLOVER_MLP_STASH", "0") == "1"
+# VERDICT r4 item 1's untried lever. Measured on the B=16 8-frame pretrain
+# step (2026-08-21): 66.20 -> 68.03 clips/s (+2.8%, runs 67.8/67.9/68.0)
+# — DEFAULT ON since r5. CLOVER_MLP_STASH=0 restores the recompute
+# backward: set it for remat recipes (the fwd re-runs in the backward, so
+# the stash is pure extra traffic) and memory-tight shapes (the 32f B=8
+# remat-0,1 recipe HBM-OOMs with stash on: 16.15G/15.75G — bench and
+# tools/train.py default it off whenever remat is enabled). Read at
+# TRACE time so launchers can set the env after import; tests override
+# the module attribute _STASH directly (None = defer to env).
+_STASH = None
+
+
+def _stash_enabled() -> bool:
+    if _STASH is not None:
+        return _STASH
+    return _os.environ.get("CLOVER_MLP_STASH", "1") == "1"
 
 # Materialize the incoming cotangent (and x) row-major before the
 # backward math. The r4 train trace shows XLA fusing the upstream
