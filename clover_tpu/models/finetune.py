@@ -113,6 +113,7 @@ class CloverFinetune(nn.Module):
         token_ids: jax.Array,
         input_mask: jax.Array,
         det: bool,
+        test_mode: bool = False,
     ) -> jax.Array:
         """Fusion + readout + QA head -> (B, num_choices) scores."""
         cfg = self.config
@@ -151,7 +152,12 @@ class CloverFinetune(nn.Module):
 
         if cfg.qa_head is not None:
             return self.qa_head(readout, deterministic=det).reshape(-1, num_choices)
-        # ITM-score readout: probability of the "match" class (reference :118,187)
+        # ITM-score readout. Train uses the raw "match" logit (reference
+        # :118); test applies softmax first (:187) — the softmax matters
+        # for cross-candidate ranking (P(match) is monotone in l1-l0, not
+        # in l1 alone).
+        if test_mode:
+            readout = jax.nn.softmax(readout.astype(jnp.float32), axis=-1)
         return readout[:, 1].reshape(-1, num_choices)
 
     # ------------------------------------------------------------------ #
@@ -255,4 +261,5 @@ class CloverFinetune(nn.Module):
                                              deterministic=True)
             return self.ssl_head(visual_feat, text_hidden, input_mask, token_ids,
                                  deterministic=True)
-        return self._qa_logits(visual_feat, token_ids, input_mask, True)
+        return self._qa_logits(visual_feat, token_ids, input_mask, True,
+                               test_mode=True)

@@ -836,3 +836,308 @@ def test_ref_clover_pretrain_full_step(rng, world1):
     # losses_fn transposes internally, so g_imgs is already in the
     # reference's (B, clips, C, T, H, W) layout
     assert norm_err(np.asarray(g_imgs), g_imgs_ref) < 5e-4
+
+
+# --------------------------------------- full finetune graphs (VERDICT r4 #2)
+
+FT_HID, FT_VOCAB, FT_LAYERS_T, FT_LAYERS_F, FT_HEADS = 64, 128, 2, 2, 4
+FT_DEPTHS, FT_VIS_DIM = [2, 2], 32
+
+
+def _load_finetune_ref():
+    """Load + patch the reference modules CloverFinetune needs
+    (multimodal_transformer_finetune.py:9-203); returns the module."""
+    load_ref("models/backbones/swin_transformer_3d.py",
+             "mmaction.models.backbones.swin_transformer_3d")
+    ct_mod = load_ref("models/backbones/cross_transformer.py",
+                      "mmaction.models.backbones.cross_transformer")
+    bert_mod = load_ref("models/backbones/bert_from_hugface.py",
+                        "mmaction.models.backbones.bert_from_hugface")
+    load_ref("models/heads/ssl_head.py", "mmaction.models.heads.ssl_head")
+    mlm_mod = load_ref("models/heads/mlm_itm_head.py",
+                       "mmaction.models.heads.mlm_itm_head")
+    load_ref("models/heads/qa_head.py", "mmaction.models.heads.qa_head")
+    load_ref("models/losses/base.py", "mmaction.models.losses.base")
+    load_ref("models/losses/cross_entropy_loss.py",
+             "mmaction.models.losses.cross_entropy_loss")
+    load_ref("models/losses/contrastive_loss.py",
+             "mmaction.models.losses.contrastive_loss")
+    load_ref("models/recognizers/base.py", "mmaction.models.recognizers.base")
+    ft_mod = load_ref(
+        "models/recognizers/multimodal_transformer_finetune.py",
+        "mmaction.models.recognizers.multimodal_transformer_finetune")
+    cfg_cls, factories = local_bert_factories(
+        hidden_size=FT_HID, num_layers=FT_LAYERS_T, heads=FT_HEADS,
+        vocab_size=FT_VOCAB, seed=31)
+    ct_mod.BertConfig = cfg_cls
+    ct_mod.BertForPreTraining = factories["BertForPreTraining"]
+    bert_mod.BertConfig = cfg_cls
+    bert_mod.BertModel = factories["BertModel"]
+    mlm_mod.BertForMaskedLM = factories["BertForMaskedLM"]
+    return ft_mod
+
+
+def _ft_backbone_cfgs(use_text_cls):
+    """(reference kwargs, clover FinetuneConfig tower pieces) at the tiny
+    shared shapes of the pretrain-step parity test."""
+    ref_kw = dict(
+        backbone=dict(type="SwinTransformer3D", pretrained=None,
+                      pretrained2d=False, embed_dim=16, depths=FT_DEPTHS,
+                      num_heads=[2, 4], window_size=(2, 4, 4),
+                      patch_size=(2, 4, 4), stride=(2, 4, 4),
+                      drop_path_rate=0.0),
+        mm_backbone=dict(type="CrossModalTransformerFromPretrained",
+                         use_text_cls=use_text_cls, use_prompt=False,
+                         num_hidden_layers=FT_LAYERS_F,
+                         img_in_size=FT_VIS_DIM, hidden_size=FT_HID,
+                         num_frames=2, spacial_tokens=16, token_types=2,
+                         word_pos_start=False),
+        text_backbone=dict(type="BertFromPretrained",
+                           num_hidden_layers=FT_LAYERS_T),
+        text_vocab_size=FT_VOCAB,
+        cls_head=None,
+        train_cfg=dict(aux_info=["token_ids", "segment_ids", "input_mask"]),
+    )
+    bert_cfg = BertConfig(vocab_size=FT_VOCAB, hidden_size=FT_HID,
+                          num_hidden_layers=FT_LAYERS_T,
+                          num_attention_heads=FT_HEADS,
+                          intermediate_size=FT_HID * 4, hidden_dropout=0.0,
+                          attention_dropout=0.0)
+    fusion_bert = BertConfig(vocab_size=FT_VOCAB, hidden_size=FT_HID,
+                             num_hidden_layers=FT_LAYERS_F,
+                             num_attention_heads=FT_HEADS,
+                             intermediate_size=FT_HID * 4, hidden_dropout=0.0,
+                             attention_dropout=0.0)
+    swin_cfg = SwinConfig(embed_dim=16, depths=(2, 2), num_heads=(2, 4),
+                          window_size=(2, 4, 4), drop_path_rate=0.0,
+                          gelu="erf")
+    fusion_cfg = FusionConfig(bert=fusion_bert, img_in_size=FT_VIS_DIM,
+                              hidden_size=FT_HID, num_frames=2,
+                              spatial_tokens=16, use_text_cls=use_text_cls)
+    return ref_kw, swin_cfg, bert_cfg, fusion_cfg
+
+
+def _ft_params(sd, with_fusion):
+    params = {
+        "backbone": convert_swin3d(sd, FT_DEPTHS, prefix="backbone."),
+        "text_backbone": convert_hf_bert(sd, FT_LAYERS_T,
+                                         prefix="text_backbone.bert"),
+    }
+    if with_fusion:
+        fusion_sd = _strip(sd, "multimodal_backbone.")
+        fusion = {
+            "embeddings": convert_bert_embeddings(fusion_sd, "bert_embedding"),
+            "encoder": convert_bert_encoder(fusion_sd, "bert_encoder",
+                                            FT_LAYERS_F),
+            "token_type_embeddings": {
+                "embedding": fusion_sd["token_type_embeddings.weight"]},
+            "vis_space_pos": fusion_sd["vis_space_pos"],
+            "vis_tempor_pos": fusion_sd["vis_tempor_pos"],
+            "visual_norm": _ln(fusion_sd, "norm"),
+            "fc_in": _lin(fusion_sd, "fc_in"),
+        }
+        if "all_cls_token" in fusion_sd:      # use_text_cls=False variants
+            fusion["all_cls_token"] = fusion_sd["all_cls_token"]
+        params["multimodal_backbone"] = fusion
+    return params
+
+
+def _ft_inputs(rng, n_cand=1, mask_token=False):
+    B, T, HW, S = 3, 4, 32, 9
+    imgs = rng.normal(size=(B, 1, 3, T, HW, HW)).astype(np.float32)
+    token_ids = rng.integers(4, 100, size=(B, n_cand, S))
+    if mask_token:
+        token_ids[:, :, 4] = 103              # exactly one [MASK] per sample
+    input_mask = np.ones((B, n_cand, S), dtype=np.int64)
+    input_mask[1, 0, 7:] = 0
+    segment_ids = np.zeros((B, n_cand, S), dtype=np.int64)
+    return imgs, token_ids, input_mask, segment_ids
+
+
+@pytest.mark.slow
+def test_ref_clover_finetune_retrieval(rng, world1):
+    """The reference's OWN CloverFinetune, task='retrieval'
+    (multimodal_transformer_finetune.py:59-86: Swin + BERT + NCEHeadForMM
+    + NormSoftmaxLoss(cos_sim)) vs clover_tpu's CloverFinetune on shared
+    converted weights: the training loss, d(loss)/d(imgs) through the
+    whole graph, AND the separate_test forward_test embeddings
+    (:151-154) must match."""
+    from clover_tpu.models.finetune import CloverFinetune, FinetuneConfig
+
+    ft_mod = _load_finetune_ref()
+    ref_kw, swin_cfg, bert_cfg, fusion_cfg = _ft_backbone_cfgs(True)
+    torch.manual_seed(43)
+    ref = ft_mod.CloverFinetune(
+        separate_test=True, task="retrieval",
+        ssl_head=dict(type="NCEHeadForMM", visual_in_channels=FT_VIS_DIM,
+                      text_in_channels=FT_HID, img_hidden_dim=FT_HID * 2,
+                      vts_embed_dim=FT_HID, ln=True, spatial_type="avg",
+                      text_agg_type="cls", dropout_ratio=0),
+        itm_head=None,
+        loss_type=dict(type="NormSoftmaxLoss", cos_sim=True,
+                       temperature=0.05),
+        **ref_kw)
+    ref.eval()
+
+    imgs, token_ids, input_mask, segment_ids = _ft_inputs(rng)
+    imgs_t = torch.tensor(imgs, requires_grad=True)
+    losses_ref = ref.forward_train(
+        imgs_t, label=None, token_ids=torch.tensor(token_ids),
+        segment_ids=torch.tensor(segment_ids),
+        input_mask=torch.tensor(input_mask))
+    total_ref = sum(losses_ref.values())
+    total_ref.backward()
+    g_ref = imgs_t.grad.numpy()
+    with torch.no_grad():
+        v_ref, t_ref = ref.forward_test(
+            torch.tensor(imgs), token_ids=torch.tensor(token_ids),
+            segment_ids=torch.tensor(segment_ids),
+            input_mask=torch.tensor(input_mask))
+
+    sd = _sd(ref)
+    params = _ft_params(sd, with_fusion=False)
+    params["ssl_head"] = {
+        "img_fc1": _lin(sd, "ssl_head.img_projector.0"),
+        "img_norm1": {"norm": _ln(sd, "ssl_head.img_projector.1")},
+        "img_fc2": _lin(sd, "ssl_head.img_projector.3"),
+        "img_norm2": {"norm": _ln(sd, "ssl_head.img_projector.4")},
+        "text_fc1": _lin(sd, "ssl_head.text_projector.0"),
+        "text_fc2": _lin(sd, "ssl_head.text_projector.2"),
+    }
+    model = CloverFinetune(FinetuneConfig(
+        swin=swin_cfg, text_bert=bert_cfg, fusion=fusion_cfg,
+        task="retrieval", vts_embed_dim=FT_HID), dtype=jnp.float32)
+
+    def loss_fn(imgs_j):
+        batch = {"imgs": imgs_j.transpose(0, 1, 3, 4, 5, 2),
+                 "token_ids": jnp.asarray(token_ids),
+                 "input_mask": jnp.asarray(input_mask)}
+        v, t = model.apply({"params": params}, batch, train=False)
+        return norm_softmax_loss(v, t, temperature=0.05, cos_sim=True)
+
+    loss, g = jax.value_and_grad(loss_fn)(jnp.asarray(imgs))
+    assert abs(float(loss) - float(total_ref)) < 5e-5, (
+        float(loss), float(total_ref))
+    assert norm_err(np.asarray(g), g_ref) < 5e-4
+    v, t = model.apply(
+        {"params": params}, jnp.asarray(imgs).transpose(0, 1, 3, 4, 5, 2),
+        jnp.asarray(token_ids), jnp.asarray(input_mask),
+        method="forward_test")
+    assert norm_err(np.asarray(v), v_ref.numpy()) < 2e-5
+    assert norm_err(np.asarray(t), t_ref.numpy()) < 2e-5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["answer_cls_oe", "answer_mask_oe",
+                                     "answer_cls_mc", "itm_readout"])
+def test_ref_clover_finetune_qa(rng, variant):
+    """The reference's OWN CloverFinetune QA/FIB graphs
+    (multimodal_transformer_finetune.py:87-127, 157-197) vs clover_tpu on
+    shared converted weights, per live-config readout:
+      answer_cls_oe  — msrvttQA/msvdQA/tgif: fused CLS -> QA_OE_Head
+      answer_mask_oe — lsmdc_FIB: [MASK]-token hidden -> QA_OE_Head (:99-101)
+      answer_cls_mc  — lsmdc_mc: candidate expansion (:95) -> QA_MC_head
+      itm_readout    — all-CLS -> ITMHead, softmax P(match) (:180-188,
+                       test-time only; the ranking readout of the MC eval)
+    Training variants pin the CE loss AND d(loss)/d(imgs); itm_readout
+    pins forward_test's result tensor."""
+    from clover_tpu.models.finetune import CloverFinetune, FinetuneConfig
+
+    ft_mod = _load_finetune_ref()
+    use_text_cls = variant not in ("answer_mask_oe", "itm_readout")
+    ref_kw, swin_cfg, bert_cfg, fusion_cfg = _ft_backbone_cfgs(use_text_cls)
+    NUM_LABELS = 10
+    n_cand = {"answer_cls_oe": 1, "answer_mask_oe": 1,
+              "answer_cls_mc": 3, "itm_readout": 2}[variant]
+
+    torch.manual_seed(47)
+    head_kw = dict(ssl_head=None, itm_head=None,
+                   loss_type=dict(type="CrossEntropyLoss"))
+    my_kw = {}
+    if variant == "answer_cls_oe":
+        head_kw.update(answer_cls=True, qa_head=dict(
+            type="QA_OE_Head", hidden_dim=FT_HID, dropout_ratio=0.1,
+            num_labels=NUM_LABELS))
+        my_kw = dict(answer_cls=True, qa_head="oe", num_labels=NUM_LABELS)
+        task = "video_qa"
+    elif variant == "answer_mask_oe":
+        head_kw.update(answer_mask=True, qa_head=dict(
+            type="QA_OE_Head", hidden_dim=FT_HID, dropout_ratio=0.5,
+            num_labels=NUM_LABELS))
+        my_kw = dict(answer_mask=True, qa_head="oe", num_labels=NUM_LABELS)
+        task = "FIB"
+    elif variant == "answer_cls_mc":
+        head_kw.update(answer_cls=True, qa_head=dict(
+            type="QA_MC_head", hidden_dim=FT_HID, dropout_ratio=0.1))
+        my_kw = dict(answer_cls=True, qa_head="mc")
+        task = "video_qa"
+    else:  # itm_readout
+        head_kw.update(itm_head=dict(type="ITMHead", hidden_dim=FT_HID),
+                       qa_head=None)
+        my_kw = dict(use_itm_head=True)
+        task = "video_qa"
+    ref = ft_mod.CloverFinetune(separate_test=False, task=task,
+                                **head_kw, **ref_kw)
+    ref.eval()
+
+    imgs, token_ids, input_mask, segment_ids = _ft_inputs(
+        rng, n_cand=n_cand, mask_token=(variant == "answer_mask_oe"))
+    B = imgs.shape[0]
+    n_out = NUM_LABELS if variant.endswith("oe") else n_cand
+    label = rng.integers(0, n_out, size=(B,))
+
+    sd = _sd(ref)
+    params = _ft_params(sd, with_fusion=True)
+    if variant == "answer_cls_oe" or variant == "answer_mask_oe":
+        params["qa_head"] = {"fc1": _lin(sd, "qa_head.vqa_classifier.1"),
+                             "norm": _ln(sd, "qa_head.vqa_classifier.2"),
+                             "fc2": _lin(sd, "qa_head.vqa_classifier.4")}
+    elif variant == "answer_cls_mc":
+        params["qa_head"] = {"fc1": _lin(sd, "qa_head.mc_vqa_classifier.1"),
+                             "norm": _ln(sd, "qa_head.mc_vqa_classifier.2"),
+                             "fc2": _lin(sd, "qa_head.mc_vqa_classifier.4")}
+    else:
+        params["itm_head"] = {"fc1": _lin(sd, "itm_head.itm_projector.1"),
+                              "fc2": _lin(sd, "itm_head.itm_projector.3")}
+
+    model = CloverFinetune(FinetuneConfig(
+        swin=swin_cfg, text_bert=bert_cfg, fusion=fusion_cfg, task=task,
+        vts_embed_dim=FT_HID, **my_kw), dtype=jnp.float32)
+
+    if variant == "itm_readout":
+        with torch.no_grad():
+            out_ref = ref.forward_test(
+                torch.tensor(imgs), token_ids=torch.tensor(token_ids),
+                segment_ids=torch.tensor(segment_ids),
+                input_mask=torch.tensor(input_mask))["result"].numpy()
+        out = model.apply(
+            {"params": params}, jnp.asarray(imgs).transpose(0, 1, 3, 4, 5, 2),
+            jnp.asarray(token_ids), jnp.asarray(input_mask),
+            method="forward_test")
+        assert out.shape == out_ref.shape
+        assert norm_err(np.asarray(out), out_ref) < 2e-5
+        return
+
+    from clover_tpu.losses.classification import cross_entropy as my_ce
+
+    imgs_t = torch.tensor(imgs, requires_grad=True)
+    losses_ref = ref.forward_train(
+        imgs_t, label=torch.tensor(label),
+        token_ids=torch.tensor(token_ids),
+        segment_ids=torch.tensor(segment_ids),
+        input_mask=torch.tensor(input_mask))
+    total_ref = sum(losses_ref.values())
+    total_ref.backward()
+    g_ref = imgs_t.grad.numpy()
+
+    def loss_fn(imgs_j):
+        batch = {"imgs": imgs_j.transpose(0, 1, 3, 4, 5, 2),
+                 "token_ids": jnp.asarray(token_ids),
+                 "input_mask": jnp.asarray(input_mask)}
+        logits = model.apply({"params": params}, batch, train=False)
+        return my_ce(logits, jnp.asarray(label))
+
+    loss, g = jax.value_and_grad(loss_fn)(jnp.asarray(imgs))
+    assert abs(float(loss) - float(total_ref)) < 5e-5, (
+        variant, float(loss), float(total_ref))
+    assert norm_err(np.asarray(g), g_ref) < 5e-4
