@@ -199,3 +199,88 @@ def test_train_cli_distributed_two_process(tmp_path):
     ckpts = [d for d in os.listdir(work / "checkpoints")
              if d.startswith("step_")]
     assert ckpts, os.listdir(work / "checkpoints")
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_and_tp_param_sharding():
+    """VERDICT r4 item 7: GSPMD *parameter* sharding across 2 REAL
+    processes — a (data=1, fsdp=2) mesh and a (data=1, model=2) Megatron-TP
+    mesh, each running a full AdamW step on a tiny BERT tower with params
+    laid out by ``combined_param_shardings``. The loss and the updated
+    params' global norm must match an independent single-process
+    (unsharded) step; the sharding specs are asserted non-trivial so a
+    silently-replicated layout cannot pass."""
+    script = _PREAMBLE + textwrap.dedent("""
+        import jax.numpy as jnp
+        from clover_tpu.engine import TrainState, make_optimizer
+        from clover_tpu.models.bert import BertConfig, BertTextEncoder
+        from clover_tpu.parallel.mesh import make_mesh, replicate_pytree
+        from clover_tpu.parallel.sharding import combined_param_shardings
+
+        cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=64,
+                         hidden_dropout=0.0, attention_dropout=0.0)
+        tower = BertTextEncoder(cfg)
+        rng = np.random.default_rng(0)
+        ids_np = rng.integers(4, 64, size=(4, 12)).astype(np.int32)
+        mask_np = np.ones((4, 12), np.int32)
+        variables = tower.init(jax.random.PRNGKey(0), jnp.asarray(ids_np),
+                               jnp.asarray(mask_np))
+        params0 = jax.device_get(variables["params"])
+
+        def run_step(params, apply_sharding=None, mesh=None):
+            if apply_sharding is not None:
+                params = jax.tree_util.tree_map(
+                    lambda x, sh: jax.make_array_from_callback(
+                        np.shape(x), sh,
+                        lambda idx, x=np.asarray(x): x[idx]),
+                    params, apply_sharding)
+            tx, _ = make_optimizer(params0, base_lr=1e-2, total_steps=10,
+                                   weight_decay=0.0)
+            state = TrainState.create(params, tx)
+            if mesh is not None:
+                b = replicate_pytree({"ids": ids_np, "mask": mask_np}, mesh)
+                ids, mask = b["ids"], b["mask"]
+            else:
+                ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+
+            @jax.jit
+            def step(state, ids, mask):
+                def loss_fn(p):
+                    out = tower.apply({"params": p}, ids, mask)
+                    return (out.astype(jnp.float32) ** 2).mean()
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                gnorm = jnp.sqrt(sum(
+                    jnp.sum(l.astype(jnp.float32) ** 2)
+                    for l in jax.tree_util.tree_leaves(grads)))
+                state = state.apply_gradients(grads)
+                pnorm = jnp.sqrt(sum(
+                    jnp.sum(l.astype(jnp.float32) ** 2)
+                    for l in jax.tree_util.tree_leaves(state.params)))
+                return loss, gnorm, pnorm
+
+            loss, gnorm, pnorm = step(state, ids, mask)
+            return tuple(float(np.asarray(jax.device_get(v)))
+                         for v in (loss, gnorm, pnorm))
+
+        ref_loss, ref_gnorm, ref_pnorm = run_step(params0)
+
+        for axis, sizes in (("fsdp", (1, 2, 1)), ("model", (1, 1, 2))):
+            mesh = make_mesh(axis_sizes=sizes,
+                             axis_names=("data", "fsdp", "model"))
+            sh = combined_param_shardings(params0, mesh, min_size=1024)
+            specs = [tuple(s.spec) for s in jax.tree_util.tree_leaves(sh)]
+            assert any(axis in sp for sp in specs), (axis, specs)
+            loss, gnorm, pnorm = run_step(params0, apply_sharding=sh,
+                                          mesh=mesh)
+            np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
+            # grads: collective reassociation only -> tight
+            np.testing.assert_allclose(gnorm, ref_gnorm, rtol=1e-5)
+            # post-Adam params: step-1 g/(sqrt(v)+eps) amplifies f32
+            # reassociation noise O(1) for params with |g| ~ eps -> loose
+            np.testing.assert_allclose(pnorm, ref_pnorm, rtol=5e-3)
+        print(f"RANK{pid}_OK fsdp+tp loss={ref_loss:.6f}")
+    """)
+    outs = _run_pair(script)
+    for pid, out in enumerate(outs):
+        assert f"RANK{pid}_OK" in out, out
