@@ -72,7 +72,26 @@ def build(B, T, remat):
     return model, batch
 
 
-def audit_one(label, B, T, remat, hbm_bytes):
+def _compile_error_row(label, e, scan):
+    """Compact, actionable error row: first line + the scoped-VMEM /
+    largest-allocation detail lines XLA appends (buffer name + size),
+    so a placement overflow names its buffer in the audit artifact."""
+    lines = str(e).splitlines()
+    detail = [l.strip() for l in lines[1:40]
+              if any(k in l.lower() for k in
+                     ("vmem", "allocation", "largest", "%", "bytes"))][:6]
+    return {"label": label, "ok": False, "scan": scan,
+            "error": lines[0][:140] if lines else repr(e)[:140],
+            "detail": detail}
+
+
+def audit_one(label, B, T, remat, hbm_bytes, scan=False, scan_iters=8):
+    """Compile the recipe's train step — and, with ``scan=True``, the FULL
+    lax.scan program the bench/trainer actually runs (donated carried
+    state, scan_iters steps). VERDICT r4 item 6: the 8f-B24 scoped-VMEM
+    overflow appears ONLY in the full scan program (XLA placed a kernel
+    output in VMEM); a bare single-step compile passes, so the audit must
+    compile what runs."""
     import jax
 
     from clover_tpu.engine import TrainState, make_optimizer
@@ -90,15 +109,31 @@ def audit_one(label, B, T, remat, hbm_bytes):
     step = make_pretrain_train_step(model, jit=False, grad_clip_norm=15.0)
     key = jax.random.key(1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))
     try:
-        compiled = jax.jit(step, donate_argnums=0).lower(
-            state_s, batch_s, key).compile()
+        if scan:
+            import jax.numpy as jnp
+
+            scan_batch_s = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct((scan_iters,) + a.shape,
+                                               a.dtype), batch_s)
+
+            def run_all(state, batches, key):
+                def body(state, b):
+                    state, metrics = step(state, b, key)
+                    return state, metrics["loss"]
+                return jax.lax.scan(body, state, batches)
+
+            compiled = jax.jit(run_all, donate_argnums=0).lower(
+                state_s, scan_batch_s, key).compile()
+        else:
+            compiled = jax.jit(step, donate_argnums=0).lower(
+                state_s, batch_s, key).compile()
     except Exception as e:  # noqa: BLE001 — report any compile failure
-        msg = str(e).splitlines()[0][:140]
-        return {"label": label, "ok": False, "error": msg}
+        return _compile_error_row(label, e, scan)
     mem = compiled.memory_analysis()
     row = {
         "label": label,
         "ok": True,
+        "scan": scan,
         "args_gb": round(mem.argument_size_in_bytes / 2 ** 30, 2),
         "out_gb": round(mem.output_size_in_bytes / 2 ** 30, 2),
         "temp_gb": round(mem.temp_size_in_bytes / 2 ** 30, 2),
@@ -117,6 +152,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recipes", default=None,
                     help="comma-separated label filter")
+    ap.add_argument("--scan", action="store_true",
+                    help="compile the FULL lax.scan program per recipe "
+                         "(catches full-program-only placement failures "
+                         "like the 8f-B24 scoped-VMEM overflow; ~6 min "
+                         "compile per recipe on the relay)")
+    ap.add_argument("--scan-iters", type=int, default=8,
+                    help="scan length for --scan (bench uses 8)")
     args = ap.parse_args()
     import jax
 
@@ -129,9 +171,10 @@ def main():
     for label, B, T, remat, shipped in RECIPES:
         if args.recipes and label not in args.recipes.split(","):
             continue
-        row = audit_one(label, B, T, remat, hbm_bytes)
+        row = audit_one(label, B, T, remat, hbm_bytes, scan=args.scan,
+                        scan_iters=args.scan_iters)
         row["shipped"] = shipped
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
         if shipped and not row["ok"]:
             failed_shipped += 1
     print(f"{'AUDIT FAIL' if failed_shipped else 'AUDIT OK'}: "
