@@ -436,7 +436,11 @@ def bench_train():
     tx, _ = make_optimizer(params, base_lr=5e-5, total_steps=1000,
                            warmup_steps=10)
     state = TrainState.create(params, tx)
-    step = make_pretrain_train_step(model, jit=False, grad_clip_norm=15.0)
+    # BENCH_GRAD_CLIP=0 disables the global-norm clip (A/B: at 32f the
+    # sumsq epilogues detach from the remat dW fusions into ~400 scalar
+    # dispatches/step — r5 probe)
+    clip = float(os.environ.get("BENCH_GRAD_CLIP", "15.0")) or None
+    step = make_pretrain_train_step(model, jit=False, grad_clip_norm=clip)
 
     # donate_argnums=0: see the finetune mode's note — matches the
     # production step's donation (engine/steps.py), frees ~3 GB of
@@ -933,6 +937,172 @@ def bench_loader_train():
     }))
 
 
+def bench_loader_finetune():
+    """BENCH_MODE=finetune BENCH_INPUT=loader: retrieval-finetune train
+    step with the REAL input pipeline in the loop (VERDICT r4 item 9 —
+    finetune is the reference's most-used mode, 8 of 12 configs, and the
+    packed cache was proven on eval + pretrain shapes only).
+
+    BENCH_LOADER_BACKEND=packed (default here) reads thwc train packs
+    holding 2T canonical frames per clip — TSN sampling keeps its
+    temporal jitter across epochs, device RandomResizedCrop keeps its
+    spatial freedom (data/clip_cache.py). Same decomposition fields as
+    the pretrain loader row."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from clover_tpu.data.datasets import VideoTextDataset
+    from clover_tpu.data.loader import DataLoader, prefetch_to_device
+    from clover_tpu.data.tokenization import BertTokenizer, build_test_vocab
+    from clover_tpu.engine import TrainState, make_optimizer
+    from clover_tpu.engine.steps import make_retrieval_train_step
+    from clover_tpu.models import (
+        BertConfig,
+        CloverFinetune,
+        FinetuneConfig,
+        FusionConfig,
+        SwinConfig,
+    )
+    from clover_tpu.ops.preprocess import preprocess_clips
+
+    B = int(os.environ.get("BENCH_BATCH", 16))
+    T = int(os.environ.get("BENCH_FRAMES", 12))
+    N_BATCHES = int(os.environ.get("BENCH_ITERS", 8))
+    WORKERS = int(os.environ.get("BENCH_WORKERS", 4))
+    BACKEND = os.environ.get("BENCH_LOADER_BACKEND", "packed")
+    CANON, OUT, L = 256, 224, 30
+    n = N_BATCHES * B
+
+    words = ("person dog cat car street park water table chair light "
+             "runs walks jumps holds opens closes looks plays sits stands "
+             "red blue green small large old young quick slow happy").split()
+    cap_rng = np.random.default_rng(0)
+    records = []
+    for i in range(n):
+        cap = " ".join(cap_rng.choice(words, size=int(cap_rng.integers(6, 12))))
+        records.append({"filename": f"bench_video_{i}.mp4", "text": cap})
+    tok = BertTokenizer(build_test_vocab(words))
+
+    backend, backend_kwargs = "synthetic", {"height": 240, "width": 320,
+                                            "length": 64}
+    if BACKEND == "packed":
+        from clover_tpu.data.clip_cache import ClipCache, build_clip_cache
+        from clover_tpu.data.decode import SyntheticVideoBackend
+
+        stem = os.environ.get(
+            "BENCH_LOADER_ROOT",
+            os.path.join(tempfile.gettempdir(),
+                         f"bench_ftpack_T{2 * T}_S{CANON}"))
+        need = True
+        if os.path.exists(stem + ".json") and os.path.exists(stem + ".bin"):
+            c = ClipCache(stem)
+            need = not (len(c) >= n and c.frames == 2 * T
+                        and c.height == CANON and c.layout == "thwc")
+        if need:
+            build_clip_cache(stem, [r["filename"] for r in records],
+                             SyntheticVideoBackend(**backend_kwargs),
+                             num_frames=2 * T, size=CANON)
+        backend, backend_kwargs = "packed", {"path": stem}
+
+    ds = VideoTextDataset(records=records, tokenizer=tok, num_frames=T,
+                          canonical_size=CANON, max_length=L,
+                          backend=backend, backend_kwargs=backend_kwargs)
+    REUSE = int(os.environ.get("BENCH_REUSE_BUFFERS", 6))
+    loader = DataLoader(ds, batch_size=B, shuffle=False, drop_last=True,
+                        num_workers=WORKERS, reuse_buffers=REUSE)
+
+    cfg = FinetuneConfig(
+        swin=SwinConfig.base(),
+        text_bert=BertConfig(),
+        fusion=FusionConfig(bert=BertConfig(num_hidden_layers=3),
+                            img_in_size=1024, num_frames=T // 2,
+                            spatial_tokens=49),
+        task="retrieval",
+    )
+    model = CloverFinetune(cfg, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def to_model(imgs_u8, boxes, flip):
+        x = preprocess_clips(imgs_u8.reshape((-1,) + imgs_u8.shape[2:]),
+                             boxes, flip, out_size=OUT, dtype=jnp.bfloat16)
+        return x.reshape(imgs_u8.shape[:2] + x.shape[1:])
+
+    def model_batch(b):
+        return {
+            "imgs": to_model(b["imgs"], b["crop_boxes"], b["flip"]),
+            "token_ids": b["token_ids"],
+            "input_mask": b["input_mask"],
+        }
+
+    first_host = next(iter(loader.epoch(0)))
+    first = model_batch(jax.tree_util.tree_map(jnp.asarray, first_host))
+    params = jax.jit(lambda k, b: model.init(k, b, train=False)["params"])(
+        jax.random.PRNGKey(0), first)
+    jax.block_until_ready(params)
+    tx, _ = make_optimizer(params, base_lr=1.2e-5, total_steps=1000,
+                           warmup_steps=10)
+    state = TrainState.create(params, tx)
+    del params
+    step = jax.jit(make_retrieval_train_step(model, jit=False,
+                                             grad_clip_norm=15.0),
+                   donate_argnums=0)
+    key = jax.random.key(1, impl=os.environ.get("CLOVER_TRAIN_RNG", "rbg"))
+    state, metrics = step(state, first, key)        # warm the compile
+    np.asarray(metrics["loss"])
+    del first
+
+    probe = np.ascontiguousarray(first_host["imgs"])
+    jax.device_put(probe).block_until_ready()
+    t0 = time.time()
+    np.asarray(jnp.max(jax.device_put(probe)))
+    h2d_mbps = probe.nbytes / (time.time() - t0) / 2 ** 20
+    bytes_per_clip = probe.nbytes / probe.shape[0]
+
+    t0 = time.time()
+    n_seen = 0
+    for b in loader.epoch(0):
+        n_seen += b["imgs"].shape[0]
+    loader_dt = time.time() - t0
+
+    losses = []
+    t0 = time.time()
+    for b in prefetch_to_device(loader.epoch(0), size=2):
+        state, metrics = step(state, model_batch(b), key)
+        losses.append(metrics["loss"])
+    losses = np.asarray([np.asarray(x) for x in losses])
+    combined_dt = time.time() - t0
+    assert np.all(np.isfinite(losses))
+
+    staged = [jax.tree_util.tree_map(jnp.asarray, b) for b in loader.epoch(0)]
+    t0 = time.time()
+    for b in staged:
+        state, metrics = step(state, model_batch(b), key)
+    np.asarray(metrics["loss"])
+    device_dt = time.time() - t0
+
+    print(json.dumps({
+        "metric": "finetune_train_loader_in_loop_clips_per_sec_per_chip",
+        "value": round(n_seen / combined_dt, 3),
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "batch": B,
+        "frames": T,
+        "batches": N_BATCHES,
+        "workers": WORKERS,
+        "loader_backend": BACKEND,
+        "seconds": round(combined_dt, 3),
+        "loader_only_clips_per_sec": round(n_seen / loader_dt, 3),
+        "device_only_clips_per_sec": round(n_seen / device_dt, 3),
+        "device_idle_frac": round(max(0.0, 1.0 - device_dt / combined_dt), 4),
+        "h2d_MBps": round(h2d_mbps, 1),
+        "h2d_bound_clips_per_sec": round(h2d_mbps * 2 ** 20 / bytes_per_clip,
+                                         1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def bench_vmem_audit():
     """BENCH_MODE=vmem_audit: run the per-round kernel-picker VMEM audit
     (tools/vmem_audit.py — every shipped kernel shape must compile when
@@ -980,6 +1150,9 @@ def main():
         bench_train()
         return
     if mode == "finetune":
+        if os.environ.get("BENCH_INPUT") == "loader":
+            bench_loader_finetune()
+            return
         bench_finetune()
         return
     if mode == "itm":

@@ -173,14 +173,31 @@ def main():
                     help="add the fused attn-block half's in-kernel "
                          "qkv/proj GEMMs (N >= 384 shapes)")
     ap.add_argument("--f32-divisor", type=float, default=1.0)
+    ap.add_argument("--remat-stages", default=None,
+                    help="comma-separated Swin stage ids that run under "
+                         "remat (e.g. '0,1' for the 32-frame recipe): "
+                         "their PALLAS fwd kernels re-execute in the "
+                         "backward, which the analytic inventory must "
+                         "count once more (their XLA recompute GEMMs "
+                         "already appear in the HLO; kernel dots do not)")
     args = ap.parse_args()
 
+    all_stages = ((128, 4, 56, 2), (256, 8, 28, 2),
+                  (512, 16, 14, 18), (1024, 32, 7, 2))
     rows = parse_gemms(args.hlo) + attn_dots(
         B=args.attn_batch, T2=args.attn_t2, streams=args.streams,
         fwd_only=args.fwd_only)
     if args.mlp_pallas:
         rows += mlp_dots(B=args.attn_batch, T2=args.attn_t2,
                          streams=args.streams)
+    if args.remat_stages:
+        remat = tuple(all_stages[int(s)]
+                      for s in args.remat_stages.split(","))
+        rows += attn_dots(B=args.attn_batch, T2=args.attn_t2,
+                          streams=args.streams, fwd_only=True, stages=remat)
+        if args.mlp_pallas:
+            rows += mlp_dots(B=args.attn_batch, T2=args.attn_t2,
+                             streams=args.streams, stages=remat)
     if args.attn_block_fused:
         rows += attn_block_dots(B=args.attn_batch, T2=args.attn_t2,
                                 streams=args.streams)
@@ -202,6 +219,10 @@ def main():
               f"{p / max(d, 1e-12):>6.2f}")
     vpu = attn_vpu_floor(B=args.attn_batch, T2=args.attn_t2,
                          streams=args.streams, fwd_only=args.fwd_only)
+    if args.remat_stages:
+        vpu += attn_vpu_floor(B=args.attn_batch, T2=args.attn_t2,
+                              streams=args.streams, fwd_only=True,
+                              stages=remat)
     print(f"\nGEMM floor: dense {tot_d * 1e3:.1f} ms, "
           f"padded {tot_p * 1e3:.1f} ms "
           f"(structural padding {tot_p / tot_d:.2f}x)")
