@@ -559,6 +559,9 @@ def no_max_enabled(deterministic: bool):
 # warning fires the moment the safe half-width is exceeded. Instrumented
 # paths: flat / flat2 kernels (eval + their train fallbacks) and the
 # fused attn-block half (the training hot path, ops/attn_block.py).
+# NOTE: jax.debug.callback needs host send/recv, which the axon TPU
+# relay in this image does NOT support (UNIMPLEMENTED at dispatch) —
+# use the flag on directly-attached TPU/CPU hosts only (r5).
 _WA_DEBUG = _os.environ.get("CLOVER_WA_DEBUG", "0") == "1"
 CLAMP_HALF_WIDTH = 80.0
 LOGIT_DEBUG_WORST: dict = {}

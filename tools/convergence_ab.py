@@ -16,7 +16,7 @@ Protocol (one process per setting — the knobs are import-time constants):
   python tools/convergence_ab.py --steps 200 --out /tmp/ab_defaults.json
   # B: exact knobs (bit-faithful backward/recompute, threefry dropout,
   #    row-max softmax, erf gelu)
-  CLOVER_MLP_BWD_HBM=f32 CLOVER_TRAIN_RNG=threefry CLOVER_WA_NO_MAX=0 \
+  CLOVER_MLP_BWD_HBM=f32 CLOVER_TRAIN_RNG=threefry2x32 CLOVER_WA_NO_MAX=0 \
     python tools/convergence_ab.py --steps 200 --gelu erf --out /tmp/ab_exact.json
   # C: noise yardstick — defaults again with a different seed
   python tools/convergence_ab.py --steps 200 --seed 1 --out /tmp/ab_noise.json
@@ -96,8 +96,11 @@ def run(args):
 
     from functools import partial
 
+    # pool rides as a jit ARGUMENT: closed-over arrays become HLO
+    # constants, and 300+ MB of constants exceeds the axon relay's
+    # remote-compile request limit (HTTP 413 — CLAUDE.md gotcha)
     @partial(jax.jit, donate_argnums=0)
-    def run_chunk(state, idx0, key):
+    def run_chunk(state, pool, idx0, key):
         def body(state, i):
             batch = jax.tree_util.tree_map(lambda v: v[i % K], pool)
             state, metrics = step(state, batch, jax.random.fold_in(key, i))
@@ -108,7 +111,8 @@ def run(args):
     losses = []
     t0 = time.time()
     for c in range(args.steps // args.chunk):
-        state, chunk_losses = run_chunk(state, jnp.int32(c * args.chunk), key)
+        state, chunk_losses = run_chunk(state, pool,
+                                        jnp.int32(c * args.chunk), key)
         chunk_losses = np.asarray(chunk_losses)  # host sync (axon relay)
         assert np.all(np.isfinite(chunk_losses)), chunk_losses
         losses.extend(float(x) for x in chunk_losses)
