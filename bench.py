@@ -1116,10 +1116,19 @@ def bench_vmem_audit():
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ)
     results = {}
-    for name, script in (("vmem", "tools/vmem_audit.py"),
-                         ("hbm", "tools/hbm_audit.py")):
+    # hbm-scan: compile the SHIPPED recipes' FULL lax.scan programs — the
+    # only compile that sees full-program placement failures like the
+    # 8f-B24 scoped-VMEM overflow (r4/r5; ~10 min/recipe on the relay).
+    # BENCH_SCAN_AUDIT=0 skips for a quick kernel-only audit.
+    suites = [("vmem", ["tools/vmem_audit.py"]),
+              ("hbm", ["tools/hbm_audit.py"])]
+    if os.environ.get("BENCH_SCAN_AUDIT", "1") == "1":
+        suites.append(("hbm-scan", ["tools/hbm_audit.py", "--scan",
+                                    "--recipes", "8f-B16,32f-B8-remat01"]))
+    for name, argv in suites:
+        argv = [os.path.join(here, argv[0])] + argv[1:]
         proc = subprocess.run(
-            [sys.executable, os.path.join(here, script)], env=env,
+            [sys.executable] + argv, env=env,
             capture_output=True, text=True, timeout=3600)
         results[name] = {
             "ok": proc.returncode == 0,
@@ -1132,8 +1141,7 @@ def bench_vmem_audit():
         "value": failures,
         "unit": "suites",
         "vs_baseline": None,
-        "vmem": results["vmem"],
-        "hbm": results["hbm"],
+        **results,
     }))
     sys.exit(1 if failures else 0)
 

@@ -9,8 +9,10 @@ traffic drops to: read x, read weights once (blocks with a constant index
 map stay resident across grid steps), write out.
 
 The hidden dim is tiled (grid minor axis) with an fp32 VMEM accumulator,
-so stage-4 Swin (C=1024, 4C=4096 — 16 MB of weights) still fits. Backward
-is the jax.vjp of the XLA reference (recompute), as elsewhere in ops/.
+so stage-4 Swin (C=1024, 4C=4096 — 16 MB of weights) still fits. Backward:
+explicit bf16-operand recompute by default under remat / CLOVER_MLP_STASH=0,
+or (r5 default) the z-stash backward — the forward emits the pre-gelu
+hidden + LN stats and the backward skips the LN+fc1 recompute GEMM.
 """
 
 from __future__ import annotations

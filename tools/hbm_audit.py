@@ -41,7 +41,17 @@ RECIPES = [
 ]
 
 
+# explicit user value wins over the per-recipe default below
+_USER_STASH = os.environ.get("CLOVER_MLP_STASH")
+
+
 def build(B, T, remat):
+    # mirror the launchers (bench.py / builder.build_model): the MLP
+    # z-stash is a wash under remat and its residency HBM-OOMs the 32f
+    # recipe — audit what actually ships, per recipe (the knob is read at
+    # trace time)
+    os.environ["CLOVER_MLP_STASH"] = (
+        _USER_STASH if _USER_STASH is not None else ("0" if remat else "1"))
     import jax.numpy as jnp
 
     from clover_tpu.models import (
