@@ -395,3 +395,27 @@ def test_rbg_train_rng_deterministic(retrieval_setup):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_global_norm_flat_matches_optax():
+    """CLOVER_GNORM=flat's chunked single-pass norm == optax.global_norm
+    to f32 reassociation, incl. mixed shapes/dtypes and the chunking
+    boundary (chunk_elems smaller than one leaf)."""
+    import optax
+
+    from clover_tpu.engine.steps import _global_norm_flat
+
+    rng = np.random.default_rng(9)
+    tree = {
+        "a": jnp.asarray(rng.normal(size=(257, 33)).astype(np.float32)),
+        "b": {"c": jnp.asarray(rng.normal(size=(41,)).astype(np.float32)),
+              "d": jnp.asarray(rng.normal(size=(8, 3, 5)) * 1e-3,
+                               jnp.bfloat16)},
+        "e": jnp.asarray(rng.normal(size=()) * 10, jnp.float32),
+    }
+    want = float(optax.global_norm(
+        jax.tree_util.tree_map(lambda x: x.astype(jnp.float32), tree)))
+    got = float(_global_norm_flat(tree))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    got_chunked = float(_global_norm_flat(tree, chunk_elems=100))
+    np.testing.assert_allclose(got_chunked, want, rtol=1e-6)
