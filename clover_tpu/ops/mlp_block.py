@@ -150,9 +150,13 @@ def _pick_tiles(rows: int, C: int, H: int, itemsize: int,
     block (double-buffered)."""
     if budget is None:
         budget = _MLP_VMEM_BUDGET
-    if stash:
+    if stash or mask:
         # 25% headroom like _pick_tiles_bwd: Mosaic's true reservation ran
-        # ~18% above even the double-buffered model at the edge pick
+        # ~18% above even the double-buffered model at the edge picks —
+        # stash: 17.38M/16M at (512,1024) stage 2; mask: the dropout
+        # variant at (1024,512)x(25088,512,2048) overflows once the mask
+        # is a real operand (the r4 audit's constant-ones mask was folded
+        # away, hiding it — r5 audit fix)
         budget = budget * 3 // 4
     if _TILE_OVERRIDE:
         r, hc = (int(v) for v in _TILE_OVERRIDE.split(","))

@@ -90,30 +90,31 @@ def audit_one(label, Bn, nH, N, nW, force_fused=False):
     # flat fwd (ungrouped)
     W = wa._pick_window_block_flat(Bn, nH, N, HD, it, nW if lanes is not None else None, nr)
     try_compile("flat-fwd", W,
-                lambda q: wa._forward_flat(q, bias, lanes, scale, nH), qkv)
+                lambda q, b, l: wa._forward_flat(q, b, l, scale, nH),
+                qkv, bias, lanes)
     # grouped fwd
     WG = wa._pick_group_block_flat(Bn, nH, N, HD, it, nW if lanes is not None else None, nr)
     try_compile("grouped-fwd", WG,
-                lambda q: wa._forward_flat_grouped(q, bias, lanes, scale, nH),
-                qkv)
+                lambda q, b, l: wa._forward_flat_grouped(q, b, l, scale, nH),
+                qkv, bias, lanes)
     # grouped bwd
     WGb = wa._pick_group_block_bwd(Bn, nH, N, HD, it, nW if lanes is not None else None, nr)
     try_compile("grouped-bwd", WGb,
-                lambda q, gg: wa._backward_flat_grouped(
-                    q, bias, lanes, scale, nH, gg), qkv, g)
+                lambda q, gg, b, l: wa._backward_flat_grouped(
+                    q, b, l, scale, nH, gg), qkv, g, bias, lanes)
     # flat2 fwd
     f2 = wa._flat2_feasible(nH, N, HD, it, nr) and Bn % wa._flat2_W(N) == 0
     try_compile("flat2-fwd", int(f2),
-                lambda q2: wa._forward_flat2(
-                    q2.reshape(Bn * N, 3 * C), bias, lanes, scale, nH, N),
-                qkv)
+                lambda q2, b, l: wa._forward_flat2(
+                    q2.reshape(Bn * N, 3 * C), b, l, scale, nH, N),
+                qkv, bias, lanes)
     # flat2 bwd
     f2b = wa.flat2_bwd_available(Bn, N, nH, C, it,
                                  nW if lanes is not None else None, nr)
     try_compile("flat2-bwd", int(f2b),
-                lambda q2, gg: wa._backward_flat2(
-                    q2.reshape(Bn * N, 3 * C), bias, lanes, scale, nH, N,
-                    gg.reshape(Bn * N, C)), qkv, g)
+                lambda q2, gg, b, l: wa._backward_flat2(
+                    q2.reshape(Bn * N, 3 * C), b, l, scale, nH, N,
+                    gg.reshape(Bn * N, C)), qkv, g, bias, lanes)
     # fused half-block (ungrouped + grouped), BOTH mask forms — the
     # mask=None variant is the one that caught the forced-fused N=196
     # compile OOM (unshifted blocks carry no mask, which frees enough
@@ -130,14 +131,14 @@ def audit_one(label, Bn, nH, N, nW, force_fused=False):
         mnr = nr if m is not None else None
         Wab = ab._pick_w(Bn, nH, N, C, it, mnW, nr=mnr)
         try_compile(f"fused-block[{mname}]", Wab,
-                    lambda xx, m=m: ab._forward(
-                        xx, ln_s, ln_b, wqkv, bqkv, bias, m, wproj, bproj,
-                        None, scale, 1e-5), x)
+                    lambda xx, *a, m=m: ab._forward(
+                        xx, *a[:5], m, *a[5:], None, scale, 1e-5),
+                    x, ln_s, ln_b, wqkv, bqkv, bias, wproj, bproj)
         WGab = ab._pick_wg(Bn, nH, N, C, it, mnW, nr=mnr)
         try_compile(f"fused-block-grouped[{mname}]", WGab,
-                    lambda xx, m=m: ab._forward_grouped(
-                        xx, ln_s, ln_b, wqkv, bqkv, bias, m, wproj, bproj,
-                        None, scale, 1e-5), x)
+                    lambda xx, *a, m=m: ab._forward_grouped(
+                        xx, *a[:5], m, *a[5:], None, scale, 1e-5),
+                    x, ln_s, ln_b, wqkv, bqkv, bias, wproj, bproj)
     return rows
 
 
@@ -190,15 +191,23 @@ def audit_mlp():
                 rows_out.append((f"{label}:{name}", pick,
                                  f"FAIL: {key[:120]}"))
 
+        # weights ride as jit ARGUMENTS, matching production (params are
+        # always jit args): closed-over weights become HLO constants,
+        # which Mosaic charges against the kernel's scoped VMEM — the
+        # same (1024,1024) stage-2 pick compiles as args but OOMs by
+        # ~264-504K as constants (probed r5; production never sees the
+        # constant form). Swin preln runs gelu='tanh' in production (the
+        # stricter scoped footprint of the two modes).
         try_one("preln", pick,
-                lambda xx: mb.fused_ln_mlp_residual(
-                    xx, scale, bias, w1, b1, w2, b2), x)
+                lambda xx, *a: mb.fused_ln_mlp_residual(
+                    xx, *a, None, 1e-5, "tanh"),
+                x, scale, bias, w1, b1, w2, b2)
         try_one("postln", pick,
-                lambda xx: mb.fused_mlp_postln(
-                    xx, scale, bias, w1, b1, w2, b2), x)
+                lambda xx, *a: mb.fused_mlp_postln(xx, *a),
+                x, scale, bias, w1, b1, w2, b2)
         try_one("postln-dropout", pick_m,
-                lambda xx: mb.fused_mlp_postln_dropout(
-                    xx, scale, bias, w1, b1, w2, b2, m), x)
+                lambda xx, *a: mb.fused_mlp_postln_dropout(xx, *a),
+                x, scale, bias, w1, b1, w2, b2, m)
     return rows_out
 
 
