@@ -97,7 +97,20 @@ def parse_hlo_instrs(path):
     for name, (opcode, src, opn, callee) in info.items():
         if callee:
             rsrc, ropn = representative(callee)
-            src, opn = rsrc or src, ropn or opn
+            if rsrc or ropn:
+                # prefer the callee-representative merge (methodology trap
+                # #2: multi-output dW fusions misattribute by their own
+                # scalar epilogue scope) — UNLESS that merge fails to
+                # attribute while the fusion's own metadata succeeds.
+                # (The residual ~1.2% constant_dynamic-update-slice tail
+                # carries NO metadata anywhere — instruction, body, or
+                # scope — and stays honestly UNATTRIBUTED; r5.)
+                m_src, m_opn = rsrc or src, ropn or opn
+                if (not region_of(opcode, m_src, m_opn)
+                        .startswith("UNATTRIBUTED")
+                        or region_of(opcode, src, opn)
+                        .startswith("UNATTRIBUTED")):
+                    src, opn = m_src, m_opn
         out[name] = (opcode, src, opn)
     return out
 
